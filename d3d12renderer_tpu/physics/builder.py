@@ -1,0 +1,533 @@
+"""Host-side scene construction: authoring API -> compiled SceneArchetype.
+
+Replaces the reference's EnTT component hooks: `addComponent<collider_component>`
+registering colliders in a per-entity linked list and
+`rigid_body_component::recalculateProperties` aggregating mass/inertia/COG from
+the collider list (reference: src/scene/scene.h:38-84,
+src/physics/rigid_body.cpp:29-93).  Here the same authoring flow runs once on the
+host and compiles fixed-shape SoA tables, candidate contact-pair buckets, and a
+greedy graph coloring for conflict-free parallel constraint solving (the
+compile-time analogue of the reference's runtime SIMD batch scheduling,
+src/physics/constraints.cpp: scheduleConstraintsSIMD).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import (
+    SHAPE_BOX,
+    SHAPE_CAPSULE,
+    SHAPE_CYLINDER,
+    SHAPE_HULL,
+    SHAPE_SPHERE,
+    BodyState,
+    ContactBucket,
+    JointTable,
+    SceneArchetype,
+)
+
+_IDENTITY_QUAT = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+
+
+@dataclass
+class _Collider:
+    body: int
+    shape: int
+    local_pos: np.ndarray
+    local_rot: np.ndarray
+    size: np.ndarray
+    density: float
+    friction: float
+    restitution: float
+
+
+@dataclass
+class _Body:
+    pos: np.ndarray
+    rot: np.ndarray
+    kinematic: bool
+    mass_override: Optional[float]
+    gravity_factor: float
+    linear_damping: float
+    angular_damping: float
+    colliders: List[int] = field(default_factory=list)
+    # collision filtering: bodies sharing a group never collide with each other
+    no_collide_group: int = -1
+
+
+@dataclass
+class _Joint:
+    kind: str
+    body_a: int
+    body_b: int
+    params: Dict[str, np.ndarray]
+
+
+def _shape_mass_properties(c: _Collider):
+    """(mass, local inertia diag about shape COG, shape COG in collider frame).
+
+    Standard rigid-body formulas, matching the reference's per-collider
+    calculatePhysicsProperties (reference: src/physics/physics.cpp:58)."""
+    rho = c.density
+    if c.shape == SHAPE_SPHERE:
+        r = float(c.size[0])
+        mass = rho * 4.0 / 3.0 * math.pi * r ** 3
+        i = 2.0 / 5.0 * mass * r * r
+        return mass, np.array([i, i, i]), np.zeros(3)
+    if c.shape == SHAPE_BOX:
+        hx, hy, hz = (float(s) for s in c.size)
+        mass = rho * 8.0 * hx * hy * hz
+        ix = mass / 3.0 * (hy * hy + hz * hz)
+        iy = mass / 3.0 * (hx * hx + hz * hz)
+        iz = mass / 3.0 * (hx * hx + hy * hy)
+        return mass, np.array([ix, iy, iz]), np.zeros(3)
+    if c.shape == SHAPE_CYLINDER:
+        r, hh = float(c.size[0]), float(c.size[1])
+        h = 2.0 * hh
+        mass = rho * math.pi * r * r * h
+        iy = 0.5 * mass * r * r
+        ix = mass / 12.0 * (3 * r * r + h * h)
+        return mass, np.array([ix, iy, ix]), np.zeros(3)
+    if c.shape == SHAPE_CAPSULE:
+        r, hh = float(c.size[0]), float(c.size[1])
+        h = 2.0 * hh
+        m_cyl = rho * math.pi * r * r * h
+        m_hemi = rho * 2.0 / 3.0 * math.pi * r ** 3
+        mass = m_cyl + 2 * m_hemi
+        # cylinder part
+        iy = 0.5 * m_cyl * r * r
+        ix = m_cyl / 12.0 * (3 * r * r + h * h)
+        # hemisphere parts (about capsule center, axis = Y)
+        i_hemi_y = 2.0 / 5.0 * m_hemi * r * r
+        # hemisphere COM is 3r/8 above flat face; parallel-axis to capsule center
+        d = hh + 3.0 * r / 8.0
+        i_hemi_x = 2.0 / 5.0 * m_hemi * r * r + m_hemi * d * d
+        iy += 2 * i_hemi_y
+        ix += 2 * i_hemi_x
+        return mass, np.array([ix, iy, ix]), np.zeros(3)
+    raise NotImplementedError(f"mass properties for shape {c.shape}")
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+class SceneBuilder:
+    """Authoring API.  Usage:
+
+        b = SceneBuilder()
+        b.add_static_plane((0, 1, 0), 0.0)
+        body = b.add_body(position=(0, 5, 0))
+        b.add_sphere_collider(body, radius=0.5, density=1000.0)
+        arch, state0 = b.finalize()
+    """
+
+    def __init__(self):
+        self.bodies: List[_Body] = []
+        self.colliders: List[_Collider] = []
+        self.planes: List[Tuple[np.ndarray, float, float, float]] = []
+        self.joints: List[_Joint] = []
+        self._no_collide_groups = 0
+
+    # -- bodies ------------------------------------------------------------
+
+    def add_body(
+        self,
+        position=(0.0, 0.0, 0.0),
+        rotation=None,
+        kinematic=False,
+        mass=None,
+        gravity_factor=1.0,
+        linear_damping=0.4,
+        angular_damping=0.4,
+    ) -> int:
+        """Defaults match reference rigid_body_component defaults
+        (reference: src/physics/physics.h rigid_body ctor args 0.4 damping)."""
+        rot = np.asarray(rotation, np.float32) if rotation is not None else _IDENTITY_QUAT.copy()
+        self.bodies.append(
+            _Body(
+                pos=np.asarray(position, np.float32),
+                rot=rot,
+                kinematic=kinematic,
+                mass_override=mass,
+                gravity_factor=gravity_factor,
+                linear_damping=linear_damping,
+                angular_damping=angular_damping,
+            )
+        )
+        return len(self.bodies) - 1
+
+    def new_no_collide_group(self) -> int:
+        self._no_collide_groups += 1
+        return self._no_collide_groups - 1
+
+    def set_no_collide_group(self, body: int, group: int):
+        self.bodies[body].no_collide_group = group
+
+    # -- colliders ---------------------------------------------------------
+
+    def _add_collider(self, body, shape, local_pos, local_rot, size,
+                      density, friction, restitution) -> int:
+        self.colliders.append(
+            _Collider(
+                body=body,
+                shape=shape,
+                local_pos=np.asarray(local_pos, np.float32),
+                local_rot=np.asarray(local_rot, np.float32),
+                size=np.asarray(size, np.float32),
+                density=density,
+                friction=friction,
+                restitution=restitution,
+            )
+        )
+        if body >= 0:
+            self.bodies[body].colliders.append(len(self.colliders) - 1)
+        return len(self.colliders) - 1
+
+    def add_sphere_collider(self, body, radius, center=(0, 0, 0),
+                            density=1000.0, friction=0.5, restitution=0.0):
+        return self._add_collider(
+            body, SHAPE_SPHERE, center, _IDENTITY_QUAT, (radius, 0, 0),
+            density, friction, restitution,
+        )
+
+    def add_capsule_collider(self, body, radius, half_length, center=(0, 0, 0),
+                             rotation=None, density=1000.0, friction=0.5,
+                             restitution=0.0):
+        rot = np.asarray(rotation, np.float32) if rotation is not None else _IDENTITY_QUAT
+        return self._add_collider(
+            body, SHAPE_CAPSULE, center, rot, (radius, half_length, 0),
+            density, friction, restitution,
+        )
+
+    def add_box_collider(self, body, half_extents, center=(0, 0, 0), rotation=None,
+                         density=1000.0, friction=0.5, restitution=0.0):
+        rot = np.asarray(rotation, np.float32) if rotation is not None else _IDENTITY_QUAT
+        return self._add_collider(
+            body, SHAPE_BOX, center, rot, half_extents,
+            density, friction, restitution,
+        )
+
+    def add_cylinder_collider(self, body, radius, half_length, center=(0, 0, 0),
+                              rotation=None, density=1000.0, friction=0.5,
+                              restitution=0.0):
+        rot = np.asarray(rotation, np.float32) if rotation is not None else _IDENTITY_QUAT
+        return self._add_collider(
+            body, SHAPE_CYLINDER, center, rot, (radius, half_length, 0),
+            density, friction, restitution,
+        )
+
+    def add_static_plane(self, normal, offset, friction=0.8, restitution=0.0):
+        n = np.asarray(normal, np.float64)
+        n = n / np.linalg.norm(n)
+        self.planes.append((n.astype(np.float32), float(offset), friction, restitution))
+        return len(self.planes) - 1
+
+    # -- joints ------------------------------------------------------------
+
+    def add_joint(self, kind: str, body_a: int, body_b: int, **params):
+        self.joints.append(
+            _Joint(
+                kind=kind,
+                body_a=body_a,
+                body_b=body_b,
+                params={k: np.asarray(v, np.float32) for k, v in params.items()},
+            )
+        )
+        return len(self.joints) - 1
+
+    # -- compilation -------------------------------------------------------
+
+    def _mass_properties(self):
+        """Aggregate collider masses into per-body mass/COG/inertia
+        (reference: src/physics/rigid_body.cpp:29-93)."""
+        n = len(self.bodies)
+        inv_mass = np.zeros(n + 1, np.float32)
+        inv_inertia = np.zeros((n + 1, 3, 3), np.float32)
+        local_cog = np.zeros((n + 1, 3), np.float32)
+        for bi, b in enumerate(self.bodies):
+            if b.kinematic:
+                continue
+            total_mass = 0.0
+            cog = np.zeros(3)
+            items = []
+            for ci in b.colliders:
+                c = self.colliders[ci]
+                mass, idiag, shape_cog = _shape_mass_properties(c)
+                rot = _quat_to_mat(c.local_rot.astype(np.float64))
+                com = c.local_pos.astype(np.float64) + rot @ shape_cog
+                items.append((mass, idiag, rot, com))
+                total_mass += mass
+                cog += mass * com
+            if total_mass <= 0.0:
+                # Body without colliders: unit mass point (matches reference
+                # default invMass=1, invInertia=identity).
+                inv_mass[bi] = 1.0
+                inv_inertia[bi] = np.eye(3)
+                continue
+            cog /= total_mass
+            inertia = np.zeros((3, 3))
+            for mass, idiag, rot, com in items:
+                i_local = rot @ np.diag(idiag) @ rot.T
+                d = com - cog
+                i_local += mass * ((d @ d) * np.eye(3) - np.outer(d, d))
+                inertia += i_local
+            if b.mass_override is not None:
+                scale = b.mass_override / total_mass
+                total_mass *= scale
+                inertia *= scale
+            inv_mass[bi] = 1.0 / total_mass
+            inv_inertia[bi] = np.linalg.inv(inertia)
+            local_cog[bi] = cog
+        return inv_mass, inv_inertia, local_cog
+
+    def _collides(self, body_a: int, body_b: int) -> bool:
+        if body_a == body_b:
+            return False
+        ba, bb = self.bodies[body_a], self.bodies[body_b]
+        if ba.kinematic and bb.kinematic:
+            return False
+        if (
+            ba.no_collide_group >= 0
+            and ba.no_collide_group == bb.no_collide_group
+        ):
+            return False
+        # bodies connected by a joint don't collide (standard ragdoll behavior)
+        for j in self.joints:
+            if {j.body_a, j.body_b} == {body_a, body_b}:
+                return False
+        return True
+
+    def finalize(self, dtype=np.float32):
+        n = len(self.bodies)
+        c = len(self.colliders)
+        inv_mass, inv_inertia, local_cog = self._mass_properties()
+
+        col_body = np.array([cl.body for cl in self.colliders], np.int32).reshape(c)
+        col_type = np.array([cl.shape for cl in self.colliders], np.int32).reshape(c)
+        col_local_pos = (
+            np.stack([cl.local_pos for cl in self.colliders]) if c else np.zeros((0, 3))
+        )
+        col_local_rot = (
+            np.stack([cl.local_rot for cl in self.colliders]) if c else np.zeros((0, 4))
+        )
+        col_size = (
+            np.stack([cl.size for cl in self.colliders]) if c else np.zeros((0, 3))
+        )
+        col_friction = np.array([cl.friction for cl in self.colliders], np.float32)
+        col_restitution = np.array([cl.restitution for cl in self.colliders], np.float32)
+
+        bound_radius = np.zeros(c, np.float32)
+        for i, cl in enumerate(self.colliders):
+            if cl.shape == SHAPE_SPHERE:
+                r = cl.size[0]
+            elif cl.shape in (SHAPE_CAPSULE, SHAPE_CYLINDER):
+                r = cl.size[0] + cl.size[1]
+            else:
+                r = float(np.linalg.norm(cl.size))
+            bound_radius[i] = r + np.linalg.norm(cl.local_pos)
+
+        # --- candidate pair enumeration --------------------------------
+        g = len(self.planes)
+        vs_plane_rows = []
+        for ci, cl in enumerate(self.colliders):
+            if cl.body < 0 or self.bodies[cl.body].kinematic:
+                continue
+            for pi in range(g):
+                vs_plane_rows.append((ci, pi, cl.body))
+
+        pair_rows_by_type: Dict[Tuple[int, int], List[Tuple[int, int, int, int]]] = {}
+        for i in range(c):
+            for j in range(i + 1, c):
+                ci, cj = self.colliders[i], self.colliders[j]
+                if not self._collides(ci.body, cj.body):
+                    continue
+                a, b = i, j
+                ta, tb = ci.shape, cj.shape
+                if ta > tb:  # canonical order, e.g. sphere before box
+                    a, b, ta, tb = b, a, tb, ta
+                pair_rows_by_type.setdefault((ta, tb), []).append(
+                    (a, b, self.colliders[a].body, self.colliders[b].body)
+                )
+
+        # --- global greedy coloring over all candidate rows ------------
+        # Row order: plane rows first, then buckets sorted by type pair.
+        all_rows: List[Tuple[int, int]] = []  # (body_a, body_b) with world = n
+        for ci, pi, body in vs_plane_rows:
+            all_rows.append((n, body))
+        bucket_keys = sorted(pair_rows_by_type.keys())
+        for key in bucket_keys:
+            for (a, b, ba, bb) in pair_rows_by_type[key]:
+                all_rows.append((ba, bb))
+
+        colors = _greedy_color(all_rows, static_body=n)
+        num_colors = (max(colors) + 1) if colors else 0
+        color_indices = tuple(
+            jnp.asarray(np.nonzero(np.array(colors) == col)[0].astype(np.int32))
+            for col in range(num_colors)
+        )
+
+        # split colors back into tables
+        q = len(vs_plane_rows)
+        vs_plane_color = np.array(colors[:q], np.int32) if q else np.zeros(0, np.int32)
+
+        buckets = []
+        offset = q
+        for key in bucket_keys:
+            rows = pair_rows_by_type[key]
+            k = len(rows)
+            buckets.append(
+                ContactBucket(
+                    collider_a=jnp.asarray(np.array([r[0] for r in rows], np.int32)),
+                    collider_b=jnp.asarray(np.array([r[1] for r in rows], np.int32)),
+                    body_a=jnp.asarray(np.array([r[2] for r in rows], np.int32)),
+                    body_b=jnp.asarray(np.array([r[3] for r in rows], np.int32)),
+                    color=jnp.asarray(np.array(colors[offset:offset + k], np.int32)),
+                    valid=jnp.ones(k, bool),
+                    type_a=key[0],
+                    type_b=key[1],
+                    num_colors=num_colors,
+                )
+            )
+            offset += k
+
+        # --- joints ----------------------------------------------------
+        joint_tables, joint_color_indices = _build_joint_tables(self.joints, n)
+
+        arch = SceneArchetype(
+            inv_mass=jnp.asarray(inv_mass),
+            inv_inertia=jnp.asarray(inv_inertia),
+            gravity_factor=jnp.asarray(
+                np.append(
+                    np.array([b.gravity_factor for b in self.bodies], np.float32), 0.0
+                )
+            ),
+            linear_damping=jnp.asarray(
+                np.append(np.array([b.linear_damping for b in self.bodies], np.float32), 0.0)
+            ),
+            angular_damping=jnp.asarray(
+                np.append(np.array([b.angular_damping for b in self.bodies], np.float32), 0.0)
+            ),
+            local_cog=jnp.asarray(local_cog),
+            col_body=jnp.asarray(col_body),
+            col_type=jnp.asarray(col_type),
+            col_local_pos=jnp.asarray(col_local_pos.astype(np.float32)),
+            col_local_rot=jnp.asarray(col_local_rot.astype(np.float32)),
+            col_size=jnp.asarray(col_size.astype(np.float32)),
+            col_friction=jnp.asarray(col_friction),
+            col_restitution=jnp.asarray(col_restitution),
+            col_bound_radius=jnp.asarray(bound_radius),
+            plane_normal=jnp.asarray(
+                np.stack([p[0] for p in self.planes]) if g else np.zeros((0, 3), np.float32)
+            ),
+            plane_offset=jnp.asarray(np.array([p[1] for p in self.planes], np.float32)),
+            plane_friction=jnp.asarray(np.array([p[2] for p in self.planes], np.float32)),
+            plane_restitution=jnp.asarray(np.array([p[3] for p in self.planes], np.float32)),
+            vs_plane_collider=jnp.asarray(np.array([r[0] for r in vs_plane_rows], np.int32)),
+            vs_plane_plane=jnp.asarray(np.array([r[1] for r in vs_plane_rows], np.int32)),
+            vs_plane_body=jnp.asarray(np.array([r[2] for r in vs_plane_rows], np.int32)),
+            vs_plane_color=jnp.asarray(vs_plane_color),
+            vs_plane_valid=jnp.ones(q, bool),
+            contact_buckets=tuple(buckets),
+            joints=joint_tables,
+            contact_color_indices=color_indices,
+            joint_color_indices=joint_color_indices,
+            num_bodies=n,
+            num_colliders=c,
+            num_planes=g,
+            vs_plane_num_colors=num_colors,
+        )
+
+        state = BodyState(
+            pos=jnp.asarray(
+                np.stack([b.pos for b in self.bodies]) if n else np.zeros((0, 3))
+            ).astype(dtype)
+            + jnp.einsum(
+                "nij,nj->ni",
+                jnp.asarray(
+                    np.stack([_quat_to_mat(b.rot.astype(np.float64)) for b in self.bodies])
+                    if n
+                    else np.zeros((0, 3, 3))
+                ).astype(dtype),
+                jnp.asarray(local_cog[:n]).astype(dtype),
+            ),
+            rot=jnp.asarray(
+                np.stack([b.rot for b in self.bodies]) if n else np.zeros((0, 4))
+            ).astype(dtype),
+            vel=jnp.zeros((n, 3), dtype),
+            omega=jnp.zeros((n, 3), dtype),
+            force=jnp.zeros((n, 3), dtype),
+            torque=jnp.zeros((n, 3), dtype),
+        )
+        return arch, state
+
+
+def _greedy_color(rows: Sequence[Tuple[int, int]], static_body: int) -> List[int]:
+    """Greedy conflict-free coloring: rows sharing a dynamic body get distinct
+    colors.  Kinematic/static bodies (invMass 0) never receive impulses, so only
+    dynamic sharing conflicts — the same rule the reference uses when packing
+    SIMD constraint batches (src/physics/constraints.cpp: scheduleConstraintsSIMD)."""
+    used_per_color: List[set] = []
+    colors: List[int] = []
+    for (a, b) in rows:
+        keys = [x for x in (a, b) if x != static_body]
+        col = 0
+        while True:
+            if col == len(used_per_color):
+                used_per_color.append(set())
+            if all(k not in used_per_color[col] for k in keys):
+                used_per_color[col].update(keys)
+                colors.append(col)
+                break
+            col += 1
+    return colors
+
+
+def _build_joint_tables(joints: List[_Joint], num_bodies: int):
+    """Group joints by kind, color each kind independently."""
+    by_kind: Dict[str, List[_Joint]] = {}
+    for j in joints:
+        by_kind.setdefault(j.kind, []).append(j)
+
+    tables = []
+    color_indices_all = []
+    for kind in sorted(by_kind.keys()):
+        js = by_kind[kind]
+        rows = [(j.body_a if j.body_a >= 0 else num_bodies,
+                 j.body_b if j.body_b >= 0 else num_bodies) for j in js]
+        colors = _greedy_color(rows, static_body=num_bodies)
+        num_colors = (max(colors) + 1) if colors else 0
+        color_indices = tuple(
+            jnp.asarray(np.nonzero(np.array(colors) == col)[0].astype(np.int32))
+            for col in range(num_colors)
+        )
+        params: Dict[str, jnp.ndarray] = {}
+        if js:
+            for key in js[0].params:
+                params[key] = jnp.asarray(np.stack([j.params[key] for j in js]))
+        tables.append(
+            JointTable(
+                body_a=jnp.asarray(np.array([r[0] for r in rows], np.int32)),
+                body_b=jnp.asarray(np.array([r[1] for r in rows], np.int32)),
+                color=jnp.asarray(np.array(colors, np.int32)),
+                valid=jnp.ones(len(js), bool),
+                params=params,
+                kind=kind,
+                num_colors=num_colors,
+            )
+        )
+        color_indices_all.append(color_indices)
+    return tuple(tables), tuple(color_indices_all)

@@ -1,0 +1,229 @@
+"""Contact generation: world-space collider poses + static pair tables -> ContactTable.
+
+Replaces the reference's broadphase (sort-and-prune, src/physics/collision_broad.cpp:297)
++ narrowphase dispatch (src/physics/collision_narrow.cpp:2328): candidate pairs are
+enumerated at scene-compile time, so at runtime every pair bucket runs one fixed-shape
+vectorized kernel and produces masked manifolds.  The mask IS the broadphase result.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..core import maths as m
+from . import narrow
+from .types import (
+    SHAPE_BOX,
+    SHAPE_CAPSULE,
+    SHAPE_CYLINDER,
+    SHAPE_SPHERE,
+    BodyState,
+    ContactBucket,
+    SceneArchetype,
+)
+from .narrow import ContactTable
+
+
+def collider_world_poses(arch: SceneArchetype, state: BodyState):
+    """World pose of every collider given COG body state.
+
+    body render position = cog_pos - rot * local_cog (reference:
+    src/physics/rigid_body.cpp:141); collider world = render pose ∘ local pose.
+    """
+    body = arch.col_body
+    # Static world colliders don't exist in col_body (planes are separate), so all
+    # col_body entries index real bodies; but guard with clip for padded slots.
+    b = jnp.clip(body, 0, state.pos.shape[-2] - 1)
+    bpos = state.pos[..., b, :]
+    brot = state.rot[..., b, :]
+    cog = arch.local_cog[b]
+    wpos = bpos + m.quat_rotate(brot, arch.col_local_pos - cog)
+    wrot = m.quat_mul(brot, arch.col_local_rot)
+    return wpos, wrot
+
+
+def _capsule_endpoints(wpos, wrot, half_len):
+    axis = m.quat_rotate(wrot, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), wpos.shape))
+    return wpos - axis * half_len[..., None], wpos + axis * half_len[..., None]
+
+
+def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
+    """Manifolds for every (dynamic collider, plane) candidate row."""
+    ci = arch.vs_plane_collider
+    pi = arch.vs_plane_plane
+    ctype = arch.col_type[ci]
+    size = arch.col_size[ci]
+    cpos = wpos[..., ci, :]
+    crot = wrot[..., ci, :]
+    n = arch.plane_normal[pi]
+    off = arch.plane_offset[pi]
+    n = jnp.broadcast_to(n, cpos.shape)
+
+    q = ci.shape[0]
+    pts = jnp.zeros(cpos.shape[:-1] + (4, 3), cpos.dtype)
+    dep = jnp.zeros(cpos.shape[:-1] + (4,), cpos.dtype)
+    msk = jnp.zeros(cpos.shape[:-1] + (4,), bool)
+
+    # Sphere rows.
+    s_pts, s_dep, s_msk = narrow.sphere_vs_plane(cpos, size[..., 0], n, off)
+    is_sphere = (ctype == SHAPE_SPHERE)[..., None]
+    pts = jnp.where(is_sphere[..., None], _pad4(s_pts), pts)
+    dep = jnp.where(is_sphere, _pad4d(s_dep), dep)
+    msk = jnp.where(is_sphere, _pad4m(s_msk), msk)
+
+    # Capsule rows.
+    p0, p1 = _capsule_endpoints(cpos, crot, size[..., 1])
+    c_pts, c_dep, c_msk = narrow.capsule_vs_plane(p0, p1, size[..., 0], n, off)
+    is_caps = (ctype == SHAPE_CAPSULE)[..., None]
+    pts = jnp.where(is_caps[..., None], _pad4(c_pts), pts)
+    dep = jnp.where(is_caps, _pad4d(c_dep), dep)
+    msk = jnp.where(is_caps, _pad4m(c_msk), msk)
+
+    # Box rows.
+    b_pts, b_dep, b_msk = narrow.box_vs_plane(cpos, crot, size, n, off)
+    is_box = (ctype == SHAPE_BOX)[..., None]
+    pts = jnp.where(is_box[..., None], b_pts, pts)
+    dep = jnp.where(is_box, b_dep, dep)
+    msk = jnp.where(is_box, b_msk, msk)
+
+    # Cylinder rows.
+    cy_pts, cy_dep, cy_msk = narrow.cylinder_vs_plane(
+        cpos, crot, size[..., 0], size[..., 1], n, off
+    )
+    is_cyl = (ctype == SHAPE_CYLINDER)[..., None]
+    pts = jnp.where(is_cyl[..., None], cy_pts, pts)
+    dep = jnp.where(is_cyl, cy_dep, dep)
+    msk = jnp.where(is_cyl, cy_msk, msk)
+
+    friction, restitution = narrow.combine_materials(
+        arch.col_friction[ci], arch.plane_friction[pi],
+        arch.col_restitution[ci], arch.plane_restitution[pi],
+    )
+    msk = msk & arch.vs_plane_valid[..., :, None]
+    return ContactTable(
+        body_a=jnp.broadcast_to(
+            jnp.full_like(arch.vs_plane_body, arch.world_body), arch.vs_plane_body.shape
+        ),
+        body_b=arch.vs_plane_body,
+        normal=n,
+        point=pts,
+        depth=dep,
+        pmask=msk,
+        friction=jnp.broadcast_to(friction, dep.shape[:-1]),
+        restitution=jnp.broadcast_to(restitution, dep.shape[:-1]),
+        active=jnp.any(msk, axis=-1),
+    )
+
+
+def _pad4(p1):  # (...,K,3) -> (...,4,3)
+    k = p1.shape[-2]
+    if k == 4:
+        return p1
+    pad = jnp.zeros(p1.shape[:-2] + (4 - k, 3), p1.dtype)
+    return jnp.concatenate([p1, pad], axis=-2)
+
+
+def _pad4d(d):  # (...,K) -> (...,4)
+    k = d.shape[-1]
+    if k == 4:
+        return d
+    return jnp.concatenate([d, jnp.zeros(d.shape[:-1] + (4 - k,), d.dtype)], axis=-1)
+
+
+def _pad4m(mk):
+    k = mk.shape[-1]
+    if k == 4:
+        return mk
+    return jnp.concatenate([mk, jnp.zeros(mk.shape[:-1] + (4 - k,), bool)], axis=-1)
+
+
+def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
+    ia, ib = bucket.collider_a, bucket.collider_b
+    sa, sb = arch.col_size[ia], arch.col_size[ib]
+    pa, ra = wpos[..., ia, :], wrot[..., ia, :]
+    pb, rb = wpos[..., ib, :], wrot[..., ib, :]
+    ta, tb = bucket.type_a, bucket.type_b
+
+    if ta == SHAPE_SPHERE and tb == SHAPE_SPHERE:
+        normal, pts, dep, msk = narrow.sphere_vs_sphere(pa, sa[..., 0], pb, sb[..., 0])
+    elif ta == SHAPE_SPHERE and tb == SHAPE_CAPSULE:
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.sphere_vs_capsule(pa, sa[..., 0], b0, b1, sb[..., 0])
+    elif ta == SHAPE_CAPSULE and tb == SHAPE_CAPSULE:
+        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.capsule_vs_capsule(a0, a1, sa[..., 0], b0, b1, sb[..., 0])
+    elif ta == SHAPE_SPHERE and tb == SHAPE_BOX:
+        normal, pts, dep, msk = narrow.sphere_vs_box(pa, sa[..., 0], pb, rb, sb)
+    elif ta == SHAPE_CAPSULE and tb == SHAPE_BOX:
+        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
+        normal, pts, dep, msk = narrow.capsule_vs_box(a0, a1, sa[..., 0], pb, rb, sb)
+    elif ta == SHAPE_BOX and tb == SHAPE_BOX:
+        normal, pts, dep, msk = narrow.box_vs_box(pa, ra, sa, pb, rb, sb)
+    else:
+        raise NotImplementedError(
+            f"narrowphase pair ({ta},{tb}) not implemented yet"
+        )
+
+    pts4 = _pad4(pts)
+    dep4 = _pad4d(dep)
+    msk4 = _pad4m(msk) & bucket.valid[..., :, None]
+
+    friction, restitution = narrow.combine_materials(
+        arch.col_friction[ia], arch.col_friction[ib],
+        arch.col_restitution[ia], arch.col_restitution[ib],
+    )
+    shape = dep4.shape[:-1]
+    return ContactTable(
+        body_a=bucket.body_a,
+        body_b=bucket.body_b,
+        normal=normal,
+        point=pts4,
+        depth=dep4,
+        pmask=msk4,
+        friction=jnp.broadcast_to(friction, shape),
+        restitution=jnp.broadcast_to(restitution, shape),
+        active=jnp.any(msk4, axis=-1),
+    )
+
+
+def _concat_tables(tables) -> ContactTable:
+    def cat(attr, axis):
+        return jnp.concatenate([getattr(t, attr) for t in tables], axis=axis)
+
+    return ContactTable(
+        body_a=cat("body_a", -1),
+        body_b=cat("body_b", -1),
+        normal=cat("normal", -2),
+        point=cat("point", -3),
+        depth=cat("depth", -2),
+        pmask=cat("pmask", -2),
+        friction=cat("friction", -1),
+        restitution=cat("restitution", -1),
+        active=cat("active", -1),
+    )
+
+
+def generate_contacts(arch: SceneArchetype, state: BodyState) -> ContactTable:
+    """Full contact table: plane rows first, then each pair bucket, in the static
+    order the builder used for global constraint coloring."""
+    wpos, wrot = collider_world_poses(arch, state)
+    tables = []
+    if arch.vs_plane_collider.shape[0] > 0:
+        tables.append(_vs_plane_manifolds(arch, wpos, wrot))
+    for bucket in arch.contact_buckets:
+        tables.append(_bucket_manifolds(arch, bucket, wpos, wrot))
+    if not tables:
+        z = jnp.zeros((0,), jnp.int32)
+        zf = jnp.zeros((0,), jnp.float32)
+        return ContactTable(
+            body_a=z, body_b=z,
+            normal=jnp.zeros((0, 3)), point=jnp.zeros((0, 4, 3)),
+            depth=jnp.zeros((0, 4)), pmask=jnp.zeros((0, 4), bool),
+            friction=zf, restitution=zf, active=jnp.zeros((0,), bool),
+        )
+    if len(tables) == 1:
+        return tables[0]
+    return _concat_tables(tables)

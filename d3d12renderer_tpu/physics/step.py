@@ -1,0 +1,169 @@
+"""The jit-compiled physics step.
+
+Pipeline per substep (mirrors reference: src/physics/physics.cpp:1180-1360):
+  world collider poses -> narrowphase manifolds -> gravity/damping force
+  integration -> constraint prep -> N solver iterations (joints then contacts)
+  -> velocity integration into positions/rotations.
+
+Everything here is written for ONE scene; `jax.vmap` over a leading batch axis
+steps thousands of scenes in parallel.  The fixed-timestep substepping of the
+reference (120 Hz, <=4 substeps/frame, src/physics/physics.h:385-387) is a static
+Python loop so XLA sees a fixed program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import maths as m
+from . import collide, joints as joints_mod, solver
+from .types import BodyState, PhysicsSettings, SceneArchetype
+
+
+def _append_world(x, fill=0.0):
+    pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def integrate_forces(arch: SceneArchetype, pos, rot, vel, omega, force, torque, dt,
+                     global_force_field):
+    """Gravity + external forces + damping (reference: src/physics/rigid_body.cpp:95-124)."""
+    inv_mass = arch.inv_mass[:-1]
+    gravity = jnp.zeros_like(vel).at[:, 1].set(m.GRAVITY * arch.gravity_factor[:-1])
+    rotm = m.quat_to_mat3(rot)
+    inv_inertia_w = jnp.einsum(
+        "nij,njk,nlk->nil", rotm, arch.inv_inertia[:-1], rotm
+    )
+    force = force + jnp.asarray(global_force_field, vel.dtype)
+    lin_acc = gravity + force * inv_mass[:, None]
+    ang_acc = jnp.einsum("nij,nj->ni", inv_inertia_w, torque)
+    vel = vel + lin_acc * dt
+    omega = omega + ang_acc * dt
+    vel = vel / (1.0 + dt * arch.linear_damping[:-1, None])
+    omega = omega / (1.0 + dt * arch.angular_damping[:-1, None])
+    return vel, omega, inv_inertia_w
+
+
+def integrate_velocities(pos, rot, vel, omega, dt):
+    """Semi-implicit Euler (reference: src/physics/rigid_body.cpp:126-142)."""
+    pos = pos + vel * dt
+    rot = m.quat_integrate(rot, omega, dt)
+    return pos, rot
+
+
+def physics_substep(
+    arch: SceneArchetype,
+    state: BodyState,
+    dt: float,
+    settings: PhysicsSettings,
+):
+    n = arch.num_bodies
+
+    # Contact generation uses pre-integration poses (reference: physics.cpp:1246
+    # narrowphase runs before force integration).
+    contacts = collide.generate_contacts(arch, state)
+
+    vel, omega, inv_inertia_w = integrate_forces(
+        arch, state.pos, state.rot, state.vel, state.omega,
+        state.force, state.torque, dt, settings.global_force_field,
+    )
+
+    # Extend to N+1 slots: the static world body (reference dummyRigidBodyIndex).
+    pos1 = _append_world(state.pos)
+    vel1 = _append_world(vel)
+    omega1 = _append_world(omega)
+    ii_w1 = jnp.concatenate(
+        [inv_inertia_w, jnp.zeros((1, 3, 3), inv_inertia_w.dtype)], axis=0
+    )
+    inv_mass1 = arch.inv_mass
+
+    num_pairs = contacts.body_a.shape[0]
+    mode = settings.contact_mode
+    if num_pairs > 0:
+        if mode == "split_jacobi":
+            deg = solver.contact_degrees(contacts, n + 1)
+            im_solver = inv_mass1 / deg
+            ii_solver = ii_w1 / deg[:, None, None]
+        else:
+            im_solver = inv_mass1
+            ii_solver = ii_w1
+        prep = solver.prep_contacts_full(
+            contacts, pos1, im_solver, ii_solver, vel1, omega1, dt
+        )
+    else:
+        prep = None
+
+    joint_preps = joints_mod.prep_all(arch, pos1, inv_mass1, ii_w1, state.rot, dt)
+
+    imp_n = jnp.zeros((num_pairs, 4), vel.dtype)
+    imp_t = jnp.zeros((num_pairs, 4), vel.dtype)
+
+    def one_iteration(_, carry):
+        vel1, omega1, imp_n, imp_t, joint_impulses = carry
+        vel1, omega1, joint_impulses = joints_mod.solve_all_one_iteration(
+            arch, joint_preps, joint_impulses, vel1, omega1
+        )
+        if prep is not None:
+            if mode == "split_jacobi":
+                vel1, omega1, imp_n, imp_t = solver.solve_contacts_split_jacobi(
+                    prep, vel1, omega1, imp_n, imp_t
+                )
+            else:
+                vel1, omega1, imp_n, imp_t = solver.solve_contacts_colored(
+                    prep, arch.contact_color_indices, vel1, omega1, imp_n, imp_t
+                )
+        return vel1, omega1, imp_n, imp_t, joint_impulses
+
+    joint_impulses = joints_mod.init_impulses(arch, vel.dtype)
+    vel1, omega1, imp_n, imp_t, joint_impulses = jax.lax.fori_loop(
+        0, settings.solver_iterations, one_iteration,
+        (vel1, omega1, imp_n, imp_t, joint_impulses),
+    )
+
+    vel = vel1[:n]
+    omega = omega1[:n]
+    pos, rot = integrate_velocities(state.pos, state.rot, vel, omega, dt)
+
+    new_state = state.replace(
+        pos=pos, rot=rot, vel=vel, omega=omega,
+        force=jnp.zeros_like(state.force), torque=jnp.zeros_like(state.torque),
+    )
+    return new_state, contacts
+
+
+def physics_step(
+    arch: SceneArchetype,
+    state: BodyState,
+    settings: PhysicsSettings,
+    dt: float,
+    num_substeps: Optional[int] = None,
+):
+    """Step a scene by `dt` using fixed-rate substeps.
+
+    Substep count is static (computed from dt in Python), mirroring the
+    reference's frame-rate accumulator with its <=4 substep cap
+    (reference: src/physics/physics.cpp:1364-1400).
+    """
+    if num_substeps is None:
+        num_substeps = max(1, round(dt * settings.frame_rate))
+        num_substeps = min(num_substeps, settings.max_substeps)
+    h = 1.0 / settings.frame_rate
+    contacts = None
+    for _ in range(num_substeps):
+        state, contacts = physics_substep(arch, state, h, settings)
+    return state, contacts
+
+
+def make_batched_step(arch: SceneArchetype, settings: PhysicsSettings, dt: float):
+    """jit-compiled batched step: BodyState with leading batch axis."""
+
+    def step(arch, batched_state):
+        return jax.vmap(
+            lambda s: physics_step(arch, s, settings, dt)[0]
+        )(batched_state)
+
+    return jax.jit(functools.partial(step, arch))

@@ -1,0 +1,178 @@
+"""Core physics data structures.
+
+The reference engine iterates an EnTT registry of rigid-body / collider / constraint
+components every step (reference: src/physics/physics.cpp:1180-1360).  The TPU-native
+design instead *compiles* a scene into fixed-shape structure-of-arrays tables once
+(`SceneArchetype`), and the per-step dynamic state is a small pytree (`BodyState`)
+with an optional leading batch axis so thousands of scenes step in parallel — the
+TPU replacement for both EnTT iteration and the reference's 8-wide AVX2 constraint
+batches (reference: src/physics/constraints.h:12).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Shape type ids (reference collider types: src/physics/bounding_volumes.h sphere/
+# capsule/cylinder/aabb/obb/hull; planes are the static world in our build).
+SHAPE_SPHERE = 0
+SHAPE_CAPSULE = 1
+SHAPE_BOX = 2
+SHAPE_CYLINDER = 3
+SHAPE_HULL = 4
+
+SHAPE_NAMES = {
+    SHAPE_SPHERE: "sphere",
+    SHAPE_CAPSULE: "capsule",
+    SHAPE_BOX: "box",
+    SHAPE_CYLINDER: "cylinder",
+    SHAPE_HULL: "hull",
+}
+
+# Max contact points in a manifold (reference: src/physics/collision_narrow.h
+# contact_manifold holds up to 4 contacts).
+MAX_CONTACT_POINTS = 4
+
+
+@struct.dataclass
+class BodyState:
+    """Dynamic rigid-body state. All arrays shaped (..., N, k).
+
+    Positions are at the center of gravity, matching the reference's
+    rigid_body_global_state (reference: src/physics/rigid_body.cpp:97-98).
+    """
+
+    pos: jnp.ndarray        # (..., N, 3) COG position
+    rot: jnp.ndarray        # (..., N, 4) orientation quaternion (x,y,z,w)
+    vel: jnp.ndarray        # (..., N, 3) linear velocity
+    omega: jnp.ndarray      # (..., N, 3) angular velocity
+    force: jnp.ndarray      # (..., N, 3) per-step force accumulator
+    torque: jnp.ndarray     # (..., N, 3) per-step torque accumulator
+
+    @property
+    def num_bodies(self):
+        return self.pos.shape[-2]
+
+
+@struct.dataclass
+class ContactBucket:
+    """Static candidate-pair table for one (typeA, typeB) narrowphase kernel.
+
+    Pairs are enumerated at scene-compile time from collider/body topology, so the
+    narrowphase is a fixed-shape masked sweep (the reference's dynamic broadphase
+    output becomes a runtime 'overlapping' mask over this static table).
+    """
+
+    collider_a: jnp.ndarray   # (P,) int32 collider indices
+    collider_b: jnp.ndarray   # (P,) int32
+    body_a: jnp.ndarray       # (P,) int32 body indices (N = static world body)
+    body_b: jnp.ndarray       # (P,) int32
+    color: jnp.ndarray        # (P,) int32 solver color (colored mode only)
+    valid: jnp.ndarray        # (P,) bool — False for padding rows
+
+    type_a: int = struct.field(pytree_node=False)
+    type_b: int = struct.field(pytree_node=False)
+    num_colors: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class JointTable:
+    """Static per-type joint table; parameter layout depends on joint type."""
+
+    body_a: jnp.ndarray       # (J,) int32
+    body_b: jnp.ndarray       # (J,) int32
+    color: jnp.ndarray        # (J,) int32
+    valid: jnp.ndarray        # (J,) bool
+    params: Dict[str, jnp.ndarray]  # type-specific parameter arrays, each (J, ...)
+
+    kind: str = struct.field(pytree_node=False)
+    num_colors: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class SceneArchetype:
+    """Compiled static scene description (bodies, colliders, pairs, joints).
+
+    Shared by every scene instance in a batch (vmap in_axes=None).
+    The last body slot (index num_bodies) is the static "world" body with zero
+    inverse mass, mirroring the reference's dummy rigid body
+    (reference: src/physics/physics.cpp:1280 dummyRigidBodyIndex).
+    """
+
+    # Bodies — (N+1,) arrays including the static world slot.
+    inv_mass: jnp.ndarray          # (N+1,)
+    inv_inertia: jnp.ndarray       # (N+1, 3, 3) local-space inverse inertia
+    gravity_factor: jnp.ndarray    # (N+1,)
+    linear_damping: jnp.ndarray    # (N+1,)
+    angular_damping: jnp.ndarray   # (N+1,)
+    local_cog: jnp.ndarray         # (N+1, 3)
+
+    # Colliders — (C,) arrays.
+    col_body: jnp.ndarray          # (C,) int32 owning body (N = static world)
+    col_type: jnp.ndarray          # (C,) int32 shape type
+    col_local_pos: jnp.ndarray     # (C, 3) collider frame in body frame
+    col_local_rot: jnp.ndarray     # (C, 4)
+    col_size: jnp.ndarray          # (C, 3) canonical shape params
+    col_friction: jnp.ndarray      # (C,)
+    col_restitution: jnp.ndarray   # (C,)
+    # Conservative radius of bounding sphere around collider origin, for broadphase.
+    col_bound_radius: jnp.ndarray  # (C,)
+
+    # Ground planes (static world geometry): normal/offset, plane dot(n,x) = offset.
+    plane_normal: jnp.ndarray      # (G, 3)
+    plane_offset: jnp.ndarray      # (G,)
+    plane_friction: jnp.ndarray    # (G,)
+    plane_restitution: jnp.ndarray # (G,)
+
+    # Collider-vs-plane candidate rows: every dynamic collider × every plane.
+    vs_plane_collider: jnp.ndarray # (Q,) int32
+    vs_plane_plane: jnp.ndarray    # (Q,) int32
+    vs_plane_body: jnp.ndarray     # (Q,) int32
+    vs_plane_color: jnp.ndarray    # (Q,) int32
+    vs_plane_valid: jnp.ndarray    # (Q,) bool
+
+    contact_buckets: Tuple[ContactBucket, ...]
+    joints: Tuple[JointTable, ...]
+    # Ragged per-color row-index lists into the flattened contact table
+    # (plane rows first, then buckets in order).  Rows sharing a color touch
+    # disjoint dynamic bodies -> parallel solve within a color is exact.
+    contact_color_indices: Tuple[jnp.ndarray, ...]
+    # Same per joint table.
+    joint_color_indices: Tuple[Tuple[jnp.ndarray, ...], ...]
+
+    num_bodies: int = struct.field(pytree_node=False)
+    num_colliders: int = struct.field(pytree_node=False)
+    num_planes: int = struct.field(pytree_node=False)
+    vs_plane_num_colors: int = struct.field(pytree_node=False)
+
+    @property
+    def world_body(self) -> int:
+        return self.num_bodies
+
+
+@struct.dataclass
+class PhysicsSettings:
+    """Mirrors the reference's physics_settings (src/physics/physics.h:382-400)."""
+
+    frame_rate: int = struct.field(pytree_node=False, default=120)
+    max_substeps: int = struct.field(pytree_node=False, default=4)
+    solver_iterations: int = struct.field(pytree_node=False, default=30)
+    # "colored": sequential Gauss-Seidel over precomputed conflict-free colors
+    #   (the TPU analogue of the reference's SIMD batch scheduling that avoids
+    #    same-body conflicts within a batch, src/physics/constraints.cpp:3456).
+    # "split_jacobi": parallel mass-splitting Jacobi for dense contact scenes.
+    contact_mode: str = struct.field(pytree_node=False, default="colored")
+    global_force_field: Tuple[float, float, float] = struct.field(
+        pytree_node=False, default=(0.0, 0.0, 0.0)
+    )
+
+
+def zero_state(num_bodies: int, dtype=jnp.float32) -> BodyState:
+    n = num_bodies
+    rot = jnp.zeros((n, 4), dtype).at[:, 3].set(1.0)
+    z3 = jnp.zeros((n, 3), dtype)
+    return BodyState(pos=z3, rot=rot, vel=z3, omega=z3, force=z3, torque=z3)

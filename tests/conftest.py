@@ -1,0 +1,23 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding paths are exercised on a host-platform device mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), per the multi-chip test
+strategy in SURVEY.md §4.
+
+Note: the environment's sitecustomize registers the TPU plugin at interpreter
+startup, so JAX_PLATFORMS env vars are ineffective here — we must switch the
+platform via jax.config before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
