@@ -144,6 +144,31 @@ def quat_twist_angle(q, axis):
     return 2.0 * jnp.arctan2(proj, q[..., 3])
 
 
+def quat_from_to(a, b):
+    """Shortest-arc rotation taking unit vector a to unit vector b
+    (reference behavior: src/core/math.cpp:538 rotateFromTo)."""
+    w = 1.0 + dot(a, b)
+    v = cross(a, b)
+    # Antiparallel fallback: rotate pi about any axis orthogonal to a.
+    t1, _ = orthonormal_basis(a)
+    anti = w < 1e-6
+    v = jnp.where(anti[..., None], t1, v)
+    w = jnp.where(anti, 0.0, w)
+    q = jnp.concatenate([v, w[..., None]], axis=-1)
+    return normalize(q)
+
+
+def quat_to_axis_angle(q):
+    """(axis, signed angle) of a quaternion; angle = 2*atan2(|v|, w)
+    (reference behavior: src/core/math.cpp:577 getAxisRotation)."""
+    v = q[..., :3]
+    l = length(v)
+    angle = 2.0 * jnp.arctan2(l, q[..., 3])
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    axis = jnp.where((l > 1e-9)[..., None], v / jnp.maximum(l, 1e-9)[..., None], fallback)
+    return axis, angle
+
+
 def mat3_vec(m, v):
     """(..., 3, 3) @ (..., 3) -> (..., 3)."""
     return jnp.einsum("...ij,...j->...i", m, v)

@@ -249,6 +249,137 @@ class SceneBuilder:
         )
         return len(self.joints) - 1
 
+    def _body_pose(self, body: int):
+        if body < 0:
+            return np.zeros(3), _IDENTITY_QUAT.copy()
+        b = self.bodies[body]
+        return b.pos.astype(np.float64), b.rot.astype(np.float64)
+
+    def _to_local_point(self, body: int, p):
+        pos, rot = self._body_pose(body)
+        return _quat_to_mat(rot).T @ (np.asarray(p, np.float64) - pos)
+
+    def _to_local_dir(self, body: int, d):
+        _, rot = self._body_pose(body)
+        return _quat_to_mat(rot).T @ np.asarray(d, np.float64)
+
+    def add_distance_joint(self, body_a, body_b, global_anchor_a, global_anchor_b,
+                           length=None):
+        """Reference: src/physics/physics.cpp:147 addDistanceConstraintFromGlobalPoints."""
+        if length is None:
+            length = float(np.linalg.norm(
+                np.asarray(global_anchor_b, np.float64)
+                - np.asarray(global_anchor_a, np.float64)
+            ))
+        return self.add_joint(
+            "distance", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor_a),
+            anchor_b=self._to_local_point(body_b, global_anchor_b),
+            length=length,
+        )
+
+    def add_ball_joint(self, body_a, body_b, global_anchor):
+        """Reference: src/physics/physics.cpp:176 addBallConstraintFromGlobalPoints."""
+        return self.add_joint(
+            "ball", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor),
+            anchor_b=self._to_local_point(body_b, global_anchor),
+        )
+
+    def _init_inv_rot(self, body_a, body_b):
+        # conj(qB0) * qA0 (reference: physics.cpp:204-226, :304-330).
+        _, qa = self._body_pose(body_a)
+        _, qb = self._body_pose(body_b)
+        return _quat_mul_np(_quat_conj_np(qb), qa)
+
+    def add_fixed_joint(self, body_a, body_b, global_anchor):
+        """Reference: src/physics/physics.cpp:204 addFixedConstraintFromGlobalPoints."""
+        return self.add_joint(
+            "fixed", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor),
+            anchor_b=self._to_local_point(body_b, global_anchor),
+            init_inv_rot=self._init_inv_rot(body_a, body_b),
+        )
+
+    def add_hinge_joint(self, body_a, body_b, global_anchor, global_axis,
+                        min_limit=None, max_limit=None,
+                        motor_type=0.0, motor_target=0.0, max_torque=None):
+        """Reference: src/physics/physics.cpp:227 addHingeConstraintFromGlobalPoints.
+
+        min_limit in [-pi, 0] / max_limit in [0, pi]; None disables.  Motors are
+        disabled unless max_torque > 0; motor_type 0 = velocity, 1 = position."""
+        axis_a = self._to_local_dir(body_a, global_axis)
+        axis_a /= np.linalg.norm(axis_a)
+        axis_b = self._to_local_dir(body_b, global_axis)
+        axis_b /= np.linalg.norm(axis_b)
+        tangent_a, bitangent_a = _orthonormal_basis_np(axis_a)
+        # localHingeTangentB = conj(qB) * (qA * tangentA)
+        _, qa = self._body_pose(body_a)
+        world_tangent = _quat_to_mat(qa) @ tangent_a
+        tangent_b = self._to_local_dir(body_b, world_tangent)
+        return self.add_joint(
+            "hinge", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor),
+            anchor_b=self._to_local_point(body_b, global_anchor),
+            axis_a=axis_a, axis_b=axis_b,
+            tangent_a=tangent_a, bitangent_a=bitangent_a, tangent_b=tangent_b,
+            min_limit=(min_limit if min_limit is not None else 1.0),
+            max_limit=(max_limit if max_limit is not None else -1.0),
+            motor_type=motor_type, motor_target=motor_target,
+            max_torque=(max_torque if max_torque is not None else -1.0),
+        )
+
+    def add_cone_twist_joint(self, body_a, body_b, global_anchor, global_axis,
+                             swing_limit=-1.0, twist_limit=-1.0,
+                             swing_motor_type=0.0, swing_target=0.0,
+                             swing_axis_angle=0.0, max_swing_torque=None,
+                             twist_motor_type=0.0, twist_target=0.0,
+                             max_twist_torque=None):
+        """Reference: src/physics/physics.cpp:263 addConeTwistConstraintFromGlobalPoints.
+
+        Negative swing/twist limits disable them."""
+        axis_a = self._to_local_dir(body_a, global_axis)
+        axis_a /= np.linalg.norm(axis_a)
+        axis_b = self._to_local_dir(body_b, global_axis)
+        axis_b /= np.linalg.norm(axis_b)
+        tangent_a, bitangent_a = _orthonormal_basis_np(axis_a)
+        _, qa = self._body_pose(body_a)
+        world_tangent = _quat_to_mat(qa) @ tangent_a
+        tangent_b = self._to_local_dir(body_b, world_tangent)
+        return self.add_joint(
+            "cone_twist", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor),
+            anchor_b=self._to_local_point(body_b, global_anchor),
+            axis_a=axis_a, axis_b=axis_b,
+            tangent_a=tangent_a, bitangent_a=bitangent_a, tangent_b=tangent_b,
+            swing_limit=swing_limit, twist_limit=twist_limit,
+            swing_motor_type=swing_motor_type, swing_target=swing_target,
+            swing_axis_angle=swing_axis_angle,
+            max_swing_torque=(max_swing_torque if max_swing_torque is not None else -1.0),
+            twist_motor_type=twist_motor_type, twist_target=twist_target,
+            max_twist_torque=(max_twist_torque if max_twist_torque is not None else -1.0),
+        )
+
+    def add_slider_joint(self, body_a, body_b, global_anchor, global_axis,
+                         neg_limit=None, pos_limit=None,
+                         motor_type=0.0, motor_target=0.0, max_force=None):
+        """Reference: src/physics/physics.cpp:304 addSliderConstraintFromGlobalPoints.
+
+        neg_limit <= 0 / pos_limit >= 0 to enable; None disables."""
+        axis_a = self._to_local_dir(body_a, global_axis)
+        axis_a /= np.linalg.norm(axis_a)
+        return self.add_joint(
+            "slider", body_a, body_b,
+            anchor_a=self._to_local_point(body_a, global_anchor),
+            anchor_b=self._to_local_point(body_b, global_anchor),
+            axis_a=axis_a,
+            init_inv_rot=self._init_inv_rot(body_a, body_b),
+            neg_limit=(neg_limit if neg_limit is not None else 1.0),
+            pos_limit=(pos_limit if pos_limit is not None else -1.0),
+            motor_type=motor_type, motor_target=motor_target,
+            max_force=(max_force if max_force is not None else -1.0),
+        )
+
     # -- compilation -------------------------------------------------------
 
     def _mass_properties(self):
@@ -473,6 +604,31 @@ class SceneBuilder:
             torque=jnp.zeros((n, 3), dtype),
         )
         return arch, state
+
+
+def _quat_mul_np(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _quat_conj_np(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
+def _orthonormal_basis_np(n):
+    """Host-side mirror of maths.orthonormal_basis (same Duff et al. formula)."""
+    sign = 1.0 if n[2] >= 0.0 else -1.0
+    a = -1.0 / (sign + n[2])
+    b = n[0] * n[1] * a
+    t1 = np.array([1.0 + sign * n[0] * n[0] * a, sign * b, -sign * n[0]])
+    t2 = np.array([b, sign + n[1] * n[1] * a, -n[1]])
+    return t1, t2
 
 
 def _greedy_color(rows: Sequence[Tuple[int, int]], static_body: int) -> List[int]:

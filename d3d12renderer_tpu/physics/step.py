@@ -39,7 +39,10 @@ def integrate_forces(arch: SceneArchetype, pos, rot, vel, omega, force, torque, 
         "nij,njk,nlk->nil", rotm, arch.inv_inertia[:-1], rotm
     )
     force = force + jnp.asarray(global_force_field, vel.dtype)
-    lin_acc = gravity + force * inv_mass[:, None]
+    # Kinematic bodies (inv_mass == 0) are immune to forces incl. gravity —
+    # in the reference they simply have no rigid_body_component.
+    moving = (inv_mass > 0.0)[:, None]
+    lin_acc = (gravity + force * inv_mass[:, None]) * moving
     ang_acc = jnp.einsum("nij,nj->ni", inv_inertia_w, torque)
     vel = vel + lin_acc * dt
     omega = omega + ang_acc * dt
@@ -60,6 +63,7 @@ def physics_substep(
     state: BodyState,
     dt: float,
     settings: PhysicsSettings,
+    motor_overrides=None,
 ):
     n = arch.num_bodies
 
@@ -97,7 +101,14 @@ def physics_substep(
     else:
         prep = None
 
-    joint_preps = joints_mod.prep_all(arch, pos1, inv_mass1, ii_w1, state.rot, dt)
+    rot1 = jnp.concatenate(
+        [state.rot, jnp.zeros((1, 4), state.rot.dtype).at[:, 3].set(1.0)], axis=0
+    )
+    ctx = joints_mod.JointContext(
+        pos1=pos1, rot1=rot1, inv_mass1=inv_mass1, ii_w1=ii_w1,
+        local_cog1=arch.local_cog, dt=dt,
+    )
+    joint_preps = joints_mod.prep_all(arch, ctx, motor_overrides)
 
     imp_n = jnp.zeros((num_pairs, 4), vel.dtype)
     imp_t = jnp.zeros((num_pairs, 4), vel.dtype)
@@ -141,6 +152,7 @@ def physics_step(
     settings: PhysicsSettings,
     dt: float,
     num_substeps: Optional[int] = None,
+    motor_overrides=None,
 ):
     """Step a scene by `dt` using fixed-rate substeps.
 
@@ -154,7 +166,7 @@ def physics_step(
     h = 1.0 / settings.frame_rate
     contacts = None
     for _ in range(num_substeps):
-        state, contacts = physics_substep(arch, state, h, settings)
+        state, contacts = physics_substep(arch, state, h, settings, motor_overrides)
     return state, contacts
 
 
