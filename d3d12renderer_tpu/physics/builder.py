@@ -221,6 +221,29 @@ class SceneBuilder:
             density, friction, restitution,
         )
 
+    def add_capsule_collider_from_points(self, body, point_a, point_b, radius,
+                                         density=1000.0, friction=0.5,
+                                         restitution=0.0):
+        """Capsule specified by its two hemisphere centers in body-local frame
+        (the reference's capsule authoring style: collider_component::asCapsule
+        {positionA, positionB, radius})."""
+        a = np.asarray(point_a, np.float64)
+        c = np.asarray(point_b, np.float64)
+        center = 0.5 * (a + c)
+        d = c - a
+        l = np.linalg.norm(d)
+        if l < 1e-9:
+            rot = _IDENTITY_QUAT
+            half = 0.0
+        else:
+            axis = d / l
+            rot = _quat_from_to_np(np.array([0.0, 1.0, 0.0]), axis)
+            half = 0.5 * l
+        return self._add_collider(
+            body, SHAPE_CAPSULE, center, rot.astype(np.float32),
+            (radius, half, 0), density, friction, restitution,
+        )
+
     def add_cylinder_collider(self, body, radius, half_length, center=(0, 0, 0),
                               rotation=None, density=1000.0, friction=0.5,
                               restitution=0.0):
@@ -619,6 +642,18 @@ def _quat_mul_np(a, b):
 
 def _quat_conj_np(q):
     return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
+def _quat_from_to_np(a, b):
+    """Shortest-arc quaternion a->b (host mirror of maths.quat_from_to)."""
+    w = 1.0 + float(a @ b)
+    if w < 1e-6:
+        t1, _ = _orthonormal_basis_np(a)
+        q = np.array([t1[0], t1[1], t1[2], 0.0])
+    else:
+        v = np.cross(a, b)
+        q = np.array([v[0], v[1], v[2], w])
+    return q / np.linalg.norm(q)
 
 
 def _orthonormal_basis_np(n):
