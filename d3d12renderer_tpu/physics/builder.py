@@ -465,6 +465,103 @@ class SceneBuilder:
                 return False
         return True
 
+    def _compute_tethers(self, bound_radius):
+        """Conservative reachability bounds through the joint graph.
+
+        For each body, find anchor points in other bodies' frames that the
+        body's colliders can never stray far from (joints are point
+        constraints, so a body orbits its anchor).  Used to statically prune
+        candidate contact pairs in jointed assemblies (gears of a vehicle that
+        can never touch) — the build-time analogue of the reference's runtime
+        broadphase (src/physics/collision_broad.cpp:297)."""
+        from collections import defaultdict
+
+        edges: Dict[int, List] = defaultdict(list)
+        for j in self.joints:
+            aa, ab = j.params.get("anchor_a"), j.params.get("anchor_b")
+            if aa is None or ab is None:
+                continue
+            # Hinges constrain the body to a circle about the axis — record the
+            # axis pair for a tighter (cylindrical) bound.
+            ax_a = j.params.get("axis_a") if j.kind == "hinge" else None
+            ax_b = j.params.get("axis_b") if j.kind == "hinge" else None
+            edges[j.body_a].append((j.body_b, np.asarray(aa, np.float64),
+                                    np.asarray(ab, np.float64), ax_a, ax_b))
+            edges[j.body_b].append((j.body_a, np.asarray(ab, np.float64),
+                                    np.asarray(aa, np.float64), ax_b, ax_a))
+
+        # Per body: {frame: [(point_in_frame, chain_slack, anchor0_local)]}.
+        # A collider of the body stays within
+        #   |col_center_local - anchor0_local| + shape_radius + chain_slack
+        # of `point_in_frame` (a point rigid in the frame body).
+        tethers: List[Dict[int, List]] = []
+        for b in range(len(self.bodies)):
+            res: Dict[int, List] = {}
+            frontier = [
+                (nb, a_other, 0.0, a_self, ax_s, ax_o)
+                for (nb, a_self, a_other, ax_s, ax_o) in edges.get(b, [])
+            ]
+            for depth in range(3):  # BFS depth
+                next_frontier = []
+                for (frame, point, slack, anchor0, ax_s, ax_o) in frontier:
+                    entries = res.setdefault(frame, [])
+                    if len(entries) >= 4:
+                        continue
+                    entries.append((point, slack, anchor0, ax_s, ax_o))
+                    for (nb, a_self, a_other, _, _) in edges.get(frame, []):
+                        if nb == b:
+                            continue
+                        next_frontier.append(
+                            (nb, a_other,
+                             slack + float(np.linalg.norm(point - a_self)),
+                             anchor0, None, None)  # chains fall back to ball bound
+                        )
+                frontier = next_frontier
+            tethers.append(res)
+        return tethers
+
+    _TETHER_MARGIN = 0.3  # joint drift allowance (m)
+
+    def _tether_pruned(self, i: int, j: int, tethers, bound_radius) -> bool:
+        """True if colliders i, j provably can never touch (common tether frame
+        shows separation)."""
+        ci, cj = self.colliders[i], self.colliders[j]
+        if ci.body < 0 or cj.body < 0:
+            return False
+
+        def frames(ci_idx, cl):
+            shape_r = float(bound_radius[ci_idx]) - float(np.linalg.norm(cl.local_pos))
+            center = cl.local_pos.astype(np.float64)
+            f: Dict[int, List[Tuple[np.ndarray, float]]] = {
+                cl.body: [(center, shape_r)]
+            }
+            for frame, entries in tethers[cl.body].items():
+                for (p, slack, anchor0, ax_s, ax_o) in entries:
+                    if ax_s is not None:
+                        # Hinge: collider stays on a circle about the axis —
+                        # tether at the on-axis projection, radial radius.
+                        ax_s64 = np.asarray(ax_s, np.float64)
+                        h = float((center - anchor0) @ ax_s64)
+                        radial = float(np.linalg.norm(center - anchor0 - ax_s64 * h))
+                        pt = p + np.asarray(ax_o, np.float64) * h
+                        f.setdefault(frame, []).append(
+                            (pt, radial + shape_r + slack)
+                        )
+                    else:
+                        r = float(np.linalg.norm(center - anchor0)) + shape_r + slack
+                        f.setdefault(frame, []).append((p, r))
+            return f
+
+        fi = frames(i, ci)
+        fj = frames(j, cj)
+        for frame, ents_i in fi.items():
+            if frame in fj:
+                for (pi, ri) in ents_i:
+                    for (pj, rj) in fj[frame]:
+                        if float(np.linalg.norm(pi - pj)) > ri + rj + self._TETHER_MARGIN:
+                            return True
+        return False
+
     def finalize(self, dtype=np.float32):
         n = len(self.bodies)
         c = len(self.colliders)
@@ -503,11 +600,15 @@ class SceneBuilder:
             for pi in range(g):
                 vs_plane_rows.append((ci, pi, cl.body))
 
+        tethers = self._compute_tethers(bound_radius)
+
         pair_rows_by_type: Dict[Tuple[int, int], List[Tuple[int, int, int, int]]] = {}
         for i in range(c):
             for j in range(i + 1, c):
                 ci, cj = self.colliders[i], self.colliders[j]
                 if not self._collides(ci.body, cj.body):
+                    continue
+                if self._tether_pruned(i, j, tethers, bound_radius):
                     continue
                 a, b = i, j
                 ta, tb = ci.shape, cj.shape

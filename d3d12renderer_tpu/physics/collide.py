@@ -162,6 +162,24 @@ def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
         normal, pts, dep, msk = narrow.capsule_vs_box(a0, a1, sa[..., 0], pb, rb, sb)
     elif ta == SHAPE_BOX and tb == SHAPE_BOX:
         normal, pts, dep, msk = narrow.box_vs_box(pa, ra, sa, pb, rb, sb)
+    # Cylinder pairs: approximated as capsules of equal radius/half-length
+    # until the GJK/EPA path covers them exactly.  Wheel-vs-plane (the
+    # load-bearing cylinder contact) uses the exact cylinder test above.
+    elif ta == SHAPE_SPHERE and tb == SHAPE_CYLINDER:
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.sphere_vs_capsule(pa, sa[..., 0], b0, b1, sb[..., 0])
+    elif ta == SHAPE_CAPSULE and tb == SHAPE_CYLINDER:
+        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.capsule_vs_capsule(a0, a1, sa[..., 0], b0, b1, sb[..., 0])
+    elif ta == SHAPE_CYLINDER and tb == SHAPE_CYLINDER:
+        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.capsule_vs_capsule(a0, a1, sa[..., 0], b0, b1, sb[..., 0])
+    elif ta == SHAPE_BOX and tb == SHAPE_CYLINDER:
+        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
+        normal, pts, dep, msk = narrow.capsule_vs_box(b0, b1, sb[..., 0], pa, ra, sa)
+        normal = -normal
     else:
         raise NotImplementedError(
             f"narrowphase pair ({ta},{tb}) not implemented yet"

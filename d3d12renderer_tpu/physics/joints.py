@@ -73,9 +73,26 @@ def _skew(v):
 
 
 def _safe_inv3(K, active):
+    """Closed-form adjugate 3x3 inverse.  jnp.linalg.inv lowers to batched LU
+    on TPU which is ~100x slower for tiny matrices; the adjugate is pure VPU
+    elementwise work."""
     eye = jnp.eye(3, dtype=K.dtype)
-    Kr = jnp.where(active[..., None, None], K, eye) + 1e-9 * eye
-    return jnp.where(active[..., None, None], jnp.linalg.inv(Kr), 0.0)
+    K = jnp.where(active[..., None, None], K, eye) + 1e-9 * eye
+    a, b, c = K[..., 0, 0], K[..., 0, 1], K[..., 0, 2]
+    d, e, f = K[..., 1, 0], K[..., 1, 1], K[..., 1, 2]
+    g, h, i = K[..., 2, 0], K[..., 2, 1], K[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    adj = jnp.stack([
+        A, -(b * i - c * h), b * f - c * e,
+        B, a * i - c * g, -(a * f - c * d),
+        C, -(a * h - b * g), a * e - b * d,
+    ], axis=-1).reshape(K.shape)
+    inv = adj * inv_det[..., None, None]
+    return jnp.where(active[..., None, None], inv, 0.0)
 
 
 def _inv22(k00, k01, k10, k11, active):

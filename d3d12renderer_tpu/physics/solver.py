@@ -80,10 +80,24 @@ def prep_contacts_full(
     vel: jnp.ndarray,
     omega: jnp.ndarray,
     dt,
+    inv_mass_eff: jnp.ndarray = None,
+    inv_inertia_eff: jnp.ndarray = None,
 ) -> ContactPrep:
+    """`inv_mass`/`inv_inertia_w` are used to APPLY impulses; the optional
+    `*_eff` variants are used to compute effective masses.  For mass-splitting
+    Jacobi the eff masses use the split (deg-times lighter) bodies so each
+    row's impulse under-corrects by 1/deg and the Jacobi sum is contractive
+    (Tonge-style mass splitting); applying at true masses keeps momentum
+    exact.  Gauss-Seidel (colored) mode passes identical arrays."""
     ia, ib = ct.body_a, ct.body_b
+    if inv_mass_eff is None:
+        inv_mass_eff = inv_mass
+    if inv_inertia_eff is None:
+        inv_inertia_eff = inv_inertia_w
     im_a, im_b = inv_mass[ia], inv_mass[ib]
     ii_a, ii_b = inv_inertia_w[ia], inv_inertia_w[ib]
+    im_ea, im_eb = inv_mass_eff[ia], inv_mass_eff[ib]
+    ii_ea, ii_eb = inv_inertia_eff[ia], inv_inertia_eff[ib]
 
     r_a = ct.point - body_pos[ia][:, None, :]            # (P,4,3)
     r_b = ct.point - body_pos[ib][:, None, :]
@@ -98,11 +112,15 @@ def prep_contacts_full(
     def eff(direction):
         cr_a = jnp.cross(r_a, direction)
         cr_b = jnp.cross(r_b, direction)
+        # Impulse-application maps use true inertia.
         ii_cr_a = jnp.einsum("pij,pkj->pki", ii_a, cr_a)
         ii_cr_b = jnp.einsum("pij,pkj->pki", ii_b, cr_b)
+        # Effective mass uses the (possibly split) eff inertia/mass.
+        ii_ecr_a = jnp.einsum("pij,pkj->pki", ii_ea, cr_a)
+        ii_ecr_b = jnp.einsum("pij,pkj->pki", ii_eb, cr_b)
         k = (
-            im_a[:, None] + jnp.sum(cr_a * ii_cr_a, axis=-1)
-            + im_b[:, None] + jnp.sum(cr_b * ii_cr_b, axis=-1)
+            im_ea[:, None] + jnp.sum(cr_a * ii_ecr_a, axis=-1)
+            + im_eb[:, None] + jnp.sum(cr_b * ii_ecr_b, axis=-1)
         )
         eff_mass = jnp.where(k != 0.0, 1.0 / jnp.where(k == 0.0, 1.0, k), 0.0)
         return eff_mass, ii_cr_a, ii_cr_b

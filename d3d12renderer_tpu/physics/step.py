@@ -89,15 +89,19 @@ def physics_substep(
     mode = settings.contact_mode
     if num_pairs > 0:
         if mode == "split_jacobi":
+            # Split each body into `deg` pieces: effective masses see the
+            # deg-times lighter piece (inv mass * deg) so each row's impulse
+            # under-corrects by 1/deg; impulses apply at true masses.
             deg = solver.contact_degrees(contacts, n + 1)
-            im_solver = inv_mass1 / deg
-            ii_solver = ii_w1 / deg[:, None, None]
+            prep = solver.prep_contacts_full(
+                contacts, pos1, inv_mass1, ii_w1, vel1, omega1, dt,
+                inv_mass_eff=inv_mass1 * deg,
+                inv_inertia_eff=ii_w1 * deg[:, None, None],
+            )
         else:
-            im_solver = inv_mass1
-            ii_solver = ii_w1
-        prep = solver.prep_contacts_full(
-            contacts, pos1, im_solver, ii_solver, vel1, omega1, dt
-        )
+            prep = solver.prep_contacts_full(
+                contacts, pos1, inv_mass1, ii_w1, vel1, omega1, dt
+            )
     else:
         prep = None
 

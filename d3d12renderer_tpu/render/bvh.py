@@ -1,0 +1,314 @@
+"""BVH build (host) + stackless traversal (device).
+
+Replaces the reference's DXR acceleration structures (reference:
+src/rendering/raytracing.h:41 BLAS build, src/rendering/raytracing_tlas.h:10
+per-frame TLAS): TPUs have no RT cores, so rays traverse a software BVH.
+
+Design for TPU: the tree is flattened in depth-first order with *skip links*
+("miss" pointers), so traversal is a single `lax.while_loop` over a per-ray
+node cursor — no stack, no recursion, fully vectorized over millions of rays.
+Leaves hold up to LEAF_SIZE triangles tested branch-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .mesh import MeshData
+
+LEAF_SIZE = 4
+
+
+@struct.dataclass
+class BVH:
+    # Nodes, depth-first order. Inner node's children are node+1 (near) and
+    # found via traversal order; `miss` skips the node's whole subtree.
+    node_min: jnp.ndarray    # (N, 3)
+    node_max: jnp.ndarray    # (N, 3)
+    node_first: jnp.ndarray  # (N,) first triangle (leaves) or -1
+    node_count: jnp.ndarray  # (N,) triangle count (0 for inner)
+    node_miss: jnp.ndarray   # (N,) skip pointer (N = done)
+
+    # Triangle soup, leaf-ordered and padded to a multiple of LEAF_SIZE.
+    tri_v0: jnp.ndarray      # (T, 3)
+    tri_e1: jnp.ndarray      # (T, 3) v1 - v0
+    tri_e2: jnp.ndarray      # (T, 3) v2 - v0
+    tri_n0: jnp.ndarray      # (T, 3) vertex normals
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray     # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_material: jnp.ndarray  # (T,) int32
+    tri_valid: jnp.ndarray   # (T,) bool (padding rows False)
+
+
+def build_bvh(meshes: List[Tuple[MeshData, int]]) -> BVH:
+    """Build from [(mesh, material_id), ...] on the host (median split)."""
+    v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mats = \
+        [], [], [], [], [], [], [], [], [], []
+    for mesh, mat in meshes:
+        p = mesh.positions.astype(np.float64)
+        n = mesh.normals
+        uv = mesh.uvs
+        i = mesh.indices
+        v0, v1, v2 = p[i[:, 0]], p[i[:, 1]], p[i[:, 2]]
+        v0s.append(v0)
+        e1s.append(v1 - v0)
+        e2s.append(v2 - v0)
+        n0s.append(n[i[:, 0]])
+        n1s.append(n[i[:, 1]])
+        n2s.append(n[i[:, 2]])
+        uv0s.append(uv[i[:, 0]])
+        uv1s.append(uv[i[:, 1]])
+        uv2s.append(uv[i[:, 2]])
+        mats.append(np.full(len(i), mat, np.int32))
+
+    v0 = np.concatenate(v0s)
+    e1 = np.concatenate(e1s)
+    e2 = np.concatenate(e2s)
+    n0 = np.concatenate(n0s)
+    n1 = np.concatenate(n1s)
+    n2 = np.concatenate(n2s)
+    uv0 = np.concatenate(uv0s)
+    uv1 = np.concatenate(uv1s)
+    uv2 = np.concatenate(uv2s)
+    mat = np.concatenate(mats)
+
+    centroids = v0 + (e1 + e2) / 3.0
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+
+    # Recursive median split building (host, numpy).
+    nodes = []  # (min, max, first, count) — children at n+1; miss patched later
+
+    order: List[np.ndarray] = []
+
+    def emit(tri_idx) -> int:
+        my = len(nodes)
+        bb_lo = lo[tri_idx].min(axis=0)
+        bb_hi = hi[tri_idx].max(axis=0)
+        if len(tri_idx) <= LEAF_SIZE:
+            first = sum(len(o) for o in order)
+            order.append(tri_idx)
+            nodes.append([bb_lo, bb_hi, first, len(tri_idx)])
+            return my
+        nodes.append([bb_lo, bb_hi, -1, 0])
+        c = centroids[tri_idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        med = np.argsort(c[:, axis])
+        half = len(tri_idx) // 2
+        emit(tri_idx[med[:half]])
+        emit(tri_idx[med[half:]])
+        return my
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    try:
+        emit(np.arange(len(v0)))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    n_nodes = len(nodes)
+    # Miss links: in DFS order, node i's miss = next sibling of the nearest
+    # ancestor (derived from subtree sizes).
+    miss = np.full(n_nodes, n_nodes, np.int32)
+    memo = {}
+
+    def subtree_size_memo(i):
+        if i in memo:
+            return memo[i]
+        if nodes[i][3] > 0:
+            memo[i] = 1
+            return 1
+        left = i + 1
+        ls = subtree_size_memo(left)
+        right = left + ls
+        rs = subtree_size_memo(right)
+        memo[i] = 1 + ls + rs
+        return memo[i]
+
+    # Iterative assignment of miss links.
+    stack = [(0, n_nodes)]
+    while stack:
+        i, m = stack.pop()
+        miss[i] = m
+        if nodes[i][3] == 0:  # inner
+            left = i + 1
+            ls = subtree_size_memo(left)
+            right = left + ls
+            stack.append((left, right))
+            stack.append((right, m))
+
+    # Reorder triangles by leaf order, pad to multiple of LEAF_SIZE.
+    perm = np.concatenate(order) if order else np.zeros(0, np.int64)
+    t = len(perm)
+    pad = (-t) % LEAF_SIZE if t else LEAF_SIZE
+    valid = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
+
+    def take(a, fill=0.0):
+        out = a[perm]
+        padding = np.full((pad,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([out, padding])
+
+    node_min = np.stack([n[0] for n in nodes]).astype(np.float32)
+    node_max = np.stack([n[1] for n in nodes]).astype(np.float32)
+    node_first = np.array([n[2] for n in nodes], np.int32)
+    node_count = np.array([n[3] for n in nodes], np.int32)
+
+    return BVH(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        node_first=jnp.asarray(node_first),
+        node_count=jnp.asarray(node_count),
+        node_miss=jnp.asarray(miss),
+        tri_v0=jnp.asarray(take(v0).astype(np.float32)),
+        tri_e1=jnp.asarray(take(e1).astype(np.float32)),
+        tri_e2=jnp.asarray(take(e2).astype(np.float32)),
+        tri_n0=jnp.asarray(take(n0).astype(np.float32)),
+        tri_n1=jnp.asarray(take(n1).astype(np.float32)),
+        tri_n2=jnp.asarray(take(n2).astype(np.float32)),
+        tri_uv0=jnp.asarray(take(uv0).astype(np.float32)),
+        tri_uv1=jnp.asarray(take(uv1).astype(np.float32)),
+        tri_uv2=jnp.asarray(take(uv2).astype(np.float32)),
+        tri_material=jnp.asarray(take(mat, fill=0)),
+        tri_valid=jnp.asarray(valid),
+    )
+
+
+def _ray_aabb(o, inv_d, lo, hi, t_max):
+    """Slab test. o/inv_d (R,3); lo/hi (R,3). Returns hit mask (R,)."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= t_max)
+
+
+def _ray_tris(o, d, v0, e1, e2, valid, t_max):
+    """Moller-Trumbore over a (R, K) leaf block.
+
+    o/d (R,3); v0/e1/e2 (R,K,3). Returns (t, u, v, hit) each (R,K)."""
+    ox = o[:, None, :]
+    dx = d[:, None, :]
+    pvec = jnp.cross(dx, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = ox - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(dx * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = (
+        valid & (jnp.abs(det) > 1e-9)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-4) & (t < t_max[:, None])
+    )
+    return t, u, v, hit
+
+
+def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512):
+    """Vectorized closest-hit traversal.
+
+    origin/direction (R, 3).  Returns dict of (R,) arrays:
+    t, tri (int32, -1 = miss), u, v."""
+    r = origin.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                            jnp.where(direction >= 0, 1e-12, -1e-12), direction)
+    n_nodes = bvh.node_min.shape[0]
+
+    def cond(state):
+        node, t_best, tri_best, uv_best, steps = state
+        return jnp.any(node < n_nodes) & (steps < max_steps)
+
+    def body(state):
+        node, t_best, tri_best, uv_best, steps = state
+        active = node < n_nodes
+        ni = jnp.minimum(node, n_nodes - 1)
+        lo = bvh.node_min[ni]
+        hi = bvh.node_max[ni]
+        first = bvh.node_first[ni]
+        count = bvh.node_count[ni]
+        miss = bvh.node_miss[ni]
+
+        box_hit = _ray_aabb(origin, inv_d, lo, hi, t_best) & active
+        is_leaf = count > 0
+
+        # Leaf: test LEAF_SIZE triangles.
+        base = jnp.where(is_leaf & box_hit, first, 0)
+        tri_idx = base[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        tri_idx = jnp.minimum(tri_idx, bvh.tri_v0.shape[0] - 1)
+        valid = (
+            (jnp.arange(LEAF_SIZE)[None, :] < count[:, None])
+            & bvh.tri_valid[tri_idx]
+            & (is_leaf & box_hit)[:, None]
+        )
+        t, u, v, hit = _ray_tris(
+            origin, direction,
+            bvh.tri_v0[tri_idx], bvh.tri_e1[tri_idx], bvh.tri_e2[tri_idx],
+            valid, t_best,
+        )
+        t_masked = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t_masked, axis=-1)
+        t_leaf = jnp.take_along_axis(t_masked, k[:, None], -1)[:, 0]
+        better = t_leaf < t_best
+        t_best = jnp.where(better, t_leaf, t_best)
+        tri_best = jnp.where(
+            better, jnp.take_along_axis(tri_idx, k[:, None], -1)[:, 0], tri_best
+        )
+        u_best = jnp.take_along_axis(u, k[:, None], -1)[:, 0]
+        v_best = jnp.take_along_axis(v, k[:, None], -1)[:, 0]
+        uv_best = jnp.where(better[:, None],
+                            jnp.stack([u_best, v_best], -1), uv_best)
+
+        # Next node: descend into hit inner nodes, else skip.
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, node + 1, miss)
+        node = jnp.where(active, nxt, node)
+        return node, t_best, tri_best, uv_best, steps + 1
+
+    node0 = jnp.zeros((r,), jnp.int32)
+    t0 = jnp.full((r,), t_max, jnp.float32)
+    tri0 = jnp.full((r,), -1, jnp.int32)
+    uv0 = jnp.zeros((r, 2), jnp.float32)
+    node, t_best, tri_best, uv_best, _ = jax.lax.while_loop(
+        cond, body, (node0, t0, tri0, uv0, jnp.zeros((), jnp.int32))
+    )
+    return {"t": t_best, "tri": tri_best, "uv": uv_best,
+            "hit": tri_best >= 0}
+
+
+def any_hit(bvh: BVH, origin, direction, t_max, max_steps=512):
+    """Shadow-ray traversal: True where something blocks before t_max."""
+    res = closest_hit(bvh, origin, direction, t_max=t_max, max_steps=max_steps)
+    return res["hit"] & (res["t"] < t_max)
+
+
+def hit_attributes(bvh: BVH, res):
+    """Interpolate normal/uv/material at hit points."""
+    tri = jnp.maximum(res["tri"], 0)
+    u = res["uv"][:, 0]
+    v = res["uv"][:, 1]
+    w = 1.0 - u - v
+    n = (
+        w[:, None] * bvh.tri_n0[tri]
+        + u[:, None] * bvh.tri_n1[tri]
+        + v[:, None] * bvh.tri_n2[tri]
+    )
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    uv = (
+        w[:, None] * bvh.tri_uv0[tri]
+        + u[:, None] * bvh.tri_uv1[tri]
+        + v[:, None] * bvh.tri_uv2[tri]
+    )
+    # Geometric normal for robust offsetting.
+    gn = jnp.cross(bvh.tri_e1[tri], bvh.tri_e2[tri])
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
+    return n, gn, uv, bvh.tri_material[tri]

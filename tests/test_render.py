@@ -1,0 +1,109 @@
+"""Renderer tests: BVH correctness vs brute force, path tracer sanity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3d12renderer_tpu.render import bvh as bvh_mod
+from d3d12renderer_tpu.render import mesh as mesh_mod
+from d3d12renderer_tpu.render.camera import look_at, generate_rays
+from d3d12renderer_tpu.render.pathtracer import (
+    Materials, PathTracerSettings, Scene, default_sky, render, sky_radiance,
+)
+
+
+def make_scene():
+    ground = mesh_mod.quad(half=20.0)
+    sphere = mesh_mod.ico_sphere(1.0, 3).transformed(translate=(0, 1.0, 0))
+    box = mesh_mod.box((0.7, 0.7, 0.7)).transformed(translate=(2.2, 0.7, -0.5))
+    bvh = bvh_mod.build_bvh([(ground, 0), (sphere, 1), (box, 2)])
+    mats = Materials(
+        albedo=jnp.array([[0.5, 0.5, 0.5], [0.8, 0.2, 0.2], [0.2, 0.4, 0.8]]),
+        emissive=jnp.zeros((3, 3)),
+        roughness=jnp.array([0.8, 0.3, 0.6]),
+        metallic=jnp.array([0.0, 0.0, 0.0]),
+    )
+    return Scene(bvh=bvh, materials=mats, sky=default_sky())
+
+
+def brute_force_hit(mesh_list, o, d):
+    """Numpy reference: closest hit over all triangles (the device-vs-host
+    comparison pattern from the reference's bitonic sort self-test,
+    SURVEY.md §4.1)."""
+    best_t = np.full(o.shape[0], np.inf)
+    for mesh, _ in mesh_list:
+        p = mesh.positions
+        for tri in mesh.indices:
+            v0, v1, v2 = p[tri[0]], p[tri[1]], p[tri[2]]
+            e1, e2 = v1 - v0, v2 - v0
+            pvec = np.cross(d, e2)
+            det = (e1 * pvec).sum(-1)
+            ok = np.abs(det) > 1e-9
+            inv = np.where(ok, 1.0 / np.where(det == 0, 1, det), 0.0)
+            tvec = o - v0
+            u = (tvec * pvec).sum(-1) * inv
+            qvec = np.cross(tvec, e1)
+            v = (d * qvec).sum(-1) * inv
+            t = (e2 * qvec).sum(-1) * inv
+            hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+            best_t = np.where(hit & (t < best_t), t, best_t)
+    return best_t
+
+
+def test_bvh_matches_brute_force():
+    ground = mesh_mod.quad(half=5.0)
+    sphere = mesh_mod.ico_sphere(1.0, 1).transformed(translate=(0, 1.0, 0))
+    meshes = [(ground, 0), (sphere, 1)]
+    bvh = bvh_mod.build_bvh(meshes)
+
+    rng = np.random.default_rng(0)
+    o = np.array([[0.0, 3.0, 5.0]]).repeat(64, 0).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d[:, 1] -= 0.5  # bias downward so many rays hit
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    res = jax.jit(lambda o, d: bvh_mod.closest_hit(bvh, o, d))(
+        jnp.asarray(o), jnp.asarray(d)
+    )
+    t_ref = brute_force_hit(meshes, o, d)
+    t_dev = np.where(np.asarray(res["hit"]), np.asarray(res["t"]), np.inf)
+    np.testing.assert_allclose(t_dev, t_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_render_produces_plausible_image():
+    scene = make_scene()
+    cam = look_at(eye=(5, 3, 6), target=(0.5, 0.8, 0), aspect=1.0,
+                  v_fov=math.radians(50))
+    img = jax.jit(
+        lambda k: render(scene, cam, 64, 64,
+                         PathTracerSettings(recursion_depth=2), spp=4, key=k)
+    )(jax.random.PRNGKey(0))
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
+    # Sky visible somewhere (bright) and shadowed ground darker.
+    assert img.max() > 0.2
+    # Image is not constant.
+    assert img.std() > 0.01
+
+
+def test_sky_sun_disc():
+    sky = default_sky()
+    d = sky.sun_direction[None, :]
+    up = jnp.array([[0.0, 1.0, 0.0]])
+    sun = sky_radiance(sky, d)
+    zen = sky_radiance(sky, up)
+    assert float(sun[0, 0]) > float(zen[0, 0]) * 5
+
+
+def test_primitive_meshes_valid():
+    for mesh in [mesh_mod.box(), mesh_mod.uv_sphere(), mesh_mod.ico_sphere(),
+                 mesh_mod.capsule(), mesh_mod.cylinder(), mesh_mod.torus(),
+                 mesh_mod.arrow(), mesh_mod.mace(), mesh_mod.hollow_cylinder()]:
+        assert np.isfinite(mesh.positions).all()
+        assert mesh.indices.max() < len(mesh.positions)
+        n = np.linalg.norm(mesh.normals, axis=-1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-4)
