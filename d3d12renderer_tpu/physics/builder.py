@@ -45,6 +45,7 @@ class _Collider:
     density: float
     friction: float
     restitution: float
+    hull_verts: Optional[np.ndarray] = None  # (V, 3), collider frame
 
 
 @dataclass
@@ -69,12 +70,46 @@ class _Joint:
     params: Dict[str, np.ndarray]
 
 
+def _hull_mass_properties(verts: np.ndarray, rho: float):
+    """Exact convex-polyhedron mass properties via tetrahedron decomposition
+    (covariance form).  Returns (mass, inertia 3x3 about COG, COG)."""
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(verts.astype(np.float64))
+    v = verts.astype(np.float64)
+    volume = 0.0
+    com = np.zeros(3)
+    C = np.zeros((3, 3))
+    for simplex, eq in zip(hull.simplices, hull.equations):
+        a, b_, c_ = v[simplex[0]], v[simplex[1]], v[simplex[2]]
+        n = np.cross(b_ - a, c_ - a)
+        if n @ eq[:3] < 0:  # orient outward
+            b_, c_ = c_, b_
+        det = np.linalg.det(np.stack([a, b_, c_], axis=1))
+        volume += det / 6.0
+        com += det / 24.0 * (a + b_ + c_)
+        s = a + b_ + c_
+        C += det / 120.0 * (
+            np.outer(a, a) + np.outer(b_, b_) + np.outer(c_, c_) + np.outer(s, s)
+        )
+    mass = rho * volume
+    com = com / volume if volume > 1e-12 else np.zeros(3)
+    C *= rho
+    inertia_origin = np.trace(C) * np.eye(3) - C
+    d = com
+    inertia_com = inertia_origin - mass * ((d @ d) * np.eye(3) - np.outer(d, d))
+    return mass, inertia_com, com
+
+
 def _shape_mass_properties(c: _Collider):
     """(mass, local inertia diag about shape COG, shape COG in collider frame).
 
     Standard rigid-body formulas, matching the reference's per-collider
     calculatePhysicsProperties (reference: src/physics/physics.cpp:58)."""
     rho = c.density
+    if c.shape == SHAPE_HULL:
+        mass, inertia, com = _hull_mass_properties(c.hull_verts, rho)
+        return mass, inertia, com
     if c.shape == SHAPE_SPHERE:
         r = float(c.size[0])
         mass = rho * 4.0 / 3.0 * math.pi * r ** 3
@@ -253,6 +288,37 @@ class SceneBuilder:
             density, friction, restitution,
         )
 
+    def add_hull_collider(self, body, points, center=(0, 0, 0), rotation=None,
+                          density=1000.0, friction=0.5, restitution=0.0):
+        """Convex hull collider from a point cloud (reference: hull colliders
+        built from mesh geometry, src/physics/physics.cpp:58
+        allocateBoundingHullGeometry).  The convex hull is computed on the
+        host; vertices capped at MAX_HULL_VERTS."""
+        from scipy.spatial import ConvexHull
+
+        from .types import MAX_HULL_VERTS
+
+        pts = np.asarray(points, np.float64)
+        hull = ConvexHull(pts)
+        verts = pts[hull.vertices]
+        if len(verts) > MAX_HULL_VERTS:
+            # Keep the extreme-most vertices by greedy farthest-point sampling.
+            keep = [0]
+            while len(keep) < MAX_HULL_VERTS:
+                d = np.min(
+                    np.linalg.norm(verts[:, None] - verts[keep][None], axis=-1),
+                    axis=1,
+                )
+                keep.append(int(np.argmax(d)))
+            verts = verts[sorted(set(keep))]
+        rot = np.asarray(rotation, np.float32) if rotation is not None else _IDENTITY_QUAT
+        idx = self._add_collider(
+            body, SHAPE_HULL, center, rot, (0.0, 0.0, 0.0),
+            density, friction, restitution,
+        )
+        self.colliders[idx].hull_verts = verts.astype(np.float32)
+        return idx
+
     def add_static_plane(self, normal, offset, friction=0.8, restitution=0.0):
         n = np.asarray(normal, np.float64)
         n = n / np.linalg.norm(n)
@@ -420,10 +486,10 @@ class SceneBuilder:
             items = []
             for ci in b.colliders:
                 c = self.colliders[ci]
-                mass, idiag, shape_cog = _shape_mass_properties(c)
+                mass, ishape, shape_cog = _shape_mass_properties(c)
                 rot = _quat_to_mat(c.local_rot.astype(np.float64))
                 com = c.local_pos.astype(np.float64) + rot @ shape_cog
-                items.append((mass, idiag, rot, com))
+                items.append((mass, ishape, rot, com))
                 total_mass += mass
                 cog += mass * com
             if total_mass <= 0.0:
@@ -434,8 +500,9 @@ class SceneBuilder:
                 continue
             cog /= total_mass
             inertia = np.zeros((3, 3))
-            for mass, idiag, rot, com in items:
-                i_local = rot @ np.diag(idiag) @ rot.T
+            for mass, ishape, rot, com in items:
+                imat = np.diag(ishape) if np.ndim(ishape) == 1 else ishape
+                i_local = rot @ imat @ rot.T
                 d = com - cog
                 i_local += mass * ((d @ d) * np.eye(3) - np.outer(d, d))
                 inertia += i_local
@@ -587,9 +654,20 @@ class SceneBuilder:
                 r = cl.size[0]
             elif cl.shape in (SHAPE_CAPSULE, SHAPE_CYLINDER):
                 r = cl.size[0] + cl.size[1]
+            elif cl.shape == SHAPE_HULL:
+                r = float(np.linalg.norm(cl.hull_verts, axis=-1).max())
             else:
                 r = float(np.linalg.norm(cl.size))
             bound_radius[i] = r + np.linalg.norm(cl.local_pos)
+
+        from .types import MAX_HULL_VERTS
+        hull_verts = np.zeros((c, MAX_HULL_VERTS, 3), np.float32)
+        hull_mask = np.zeros((c, MAX_HULL_VERTS), bool)
+        for i, cl in enumerate(self.colliders):
+            if cl.hull_verts is not None:
+                k = len(cl.hull_verts)
+                hull_verts[i, :k] = cl.hull_verts
+                hull_mask[i, :k] = True
 
         # --- candidate pair enumeration --------------------------------
         g = len(self.planes)
@@ -685,6 +763,8 @@ class SceneBuilder:
             col_friction=jnp.asarray(col_friction),
             col_restitution=jnp.asarray(col_restitution),
             col_bound_radius=jnp.asarray(bound_radius),
+            col_hull_verts=jnp.asarray(hull_verts),
+            col_hull_mask=jnp.asarray(hull_mask),
             plane_normal=jnp.asarray(
                 np.stack([p[0] for p in self.planes]) if g else np.zeros((0, 3), np.float32)
             ),

@@ -13,11 +13,13 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..core import maths as m
+from . import gjk as gjk_mod
 from . import narrow
 from .types import (
     SHAPE_BOX,
     SHAPE_CAPSULE,
     SHAPE_CYLINDER,
+    SHAPE_HULL,
     SHAPE_SPHERE,
     BodyState,
     ContactBucket,
@@ -97,6 +99,16 @@ def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
     dep = jnp.where(is_cyl, cy_dep, dep)
     msk = jnp.where(is_cyl, cy_msk, msk)
 
+    # Hull rows: 4 deepest world-space vertices.
+    hv = arch.col_hull_verts[ci]
+    hm = arch.col_hull_mask[ci]
+    wverts = cpos[..., None, :] + m.quat_rotate(crot[..., None, :], hv)
+    h_pts, h_dep, h_msk = narrow.hull_vs_plane(wverts, hm, n, off)
+    is_hull = (ctype == SHAPE_HULL)[..., None]
+    pts = jnp.where(is_hull[..., None], h_pts, pts)
+    dep = jnp.where(is_hull, h_dep, dep)
+    msk = jnp.where(is_hull, h_msk & jnp.any(hm, -1)[..., None], msk)
+
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.plane_friction[pi],
         arch.col_restitution[ci], arch.plane_restitution[pi],
@@ -162,24 +174,19 @@ def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
         normal, pts, dep, msk = narrow.capsule_vs_box(a0, a1, sa[..., 0], pb, rb, sb)
     elif ta == SHAPE_BOX and tb == SHAPE_BOX:
         normal, pts, dep, msk = narrow.box_vs_box(pa, ra, sa, pb, rb, sb)
-    # Cylinder pairs: approximated as capsules of equal radius/half-length
-    # until the GJK/EPA path covers them exactly.  Wheel-vs-plane (the
-    # load-bearing cylinder contact) uses the exact cylinder test above.
-    elif ta == SHAPE_SPHERE and tb == SHAPE_CYLINDER:
-        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
-        normal, pts, dep, msk = narrow.sphere_vs_capsule(pa, sa[..., 0], b0, b1, sb[..., 0])
-    elif ta == SHAPE_CAPSULE and tb == SHAPE_CYLINDER:
-        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
-        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
-        normal, pts, dep, msk = narrow.capsule_vs_capsule(a0, a1, sa[..., 0], b0, b1, sb[..., 0])
-    elif ta == SHAPE_CYLINDER and tb == SHAPE_CYLINDER:
-        a0, a1 = _capsule_endpoints(pa, ra, sa[..., 1])
-        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
-        normal, pts, dep, msk = narrow.capsule_vs_capsule(a0, a1, sa[..., 0], b0, b1, sb[..., 0])
-    elif ta == SHAPE_BOX and tb == SHAPE_CYLINDER:
-        b0, b1 = _capsule_endpoints(pb, rb, sb[..., 1])
-        normal, pts, dep, msk = narrow.capsule_vs_box(b0, b1, sb[..., 0], pa, ra, sa)
-        normal = -normal
+    elif SHAPE_HULL in (ta, tb) or SHAPE_CYLINDER in (ta, tb):
+        # Generic convex pairs (anything involving hulls or cylinders) go
+        # through the margin-aware GJK/EPA kernel (gjk.py; reference:
+        # collision_gjk.cpp / collision_epa.cpp).
+        a_ref = gjk_mod.make_shape_ref(
+            jnp.full_like(ia, ta), sa, pa, ra,
+            arch.col_hull_verts[ia], arch.col_hull_mask[ia],
+        )
+        b_ref = gjk_mod.make_shape_ref(
+            jnp.full_like(ib, tb), sb, pb, rb,
+            arch.col_hull_verts[ib], arch.col_hull_mask[ib],
+        )
+        normal, pts, dep, msk = gjk_mod.gjk_epa_contact(a_ref, b_ref)
     else:
         raise NotImplementedError(
             f"narrowphase pair ({ta},{tb}) not implemented yet"

@@ -92,6 +92,20 @@ def points_vs_plane(pts, n, offset):
     return point, depth, hit
 
 
+def hull_vs_plane(world_verts, vert_mask, n, offset):
+    """Convex hull vs plane: up to 4 deepest vertices form the manifold.
+
+    world_verts (P,V,3), vert_mask (P,V), n (P,3), offset (P,)."""
+    d = jnp.einsum("...vj,...j->...v", world_verts, n) - offset[..., None]
+    d = jnp.where(vert_mask, d, jnp.inf)
+    depth_all = -d
+    top, idx = jax_top_k(depth_all, 4)
+    pts = jnp.take_along_axis(world_verts, idx[..., None], axis=-2)
+    pts = pts + n[..., None, :] * (0.5 * jnp.maximum(top, 0.0))[..., None]
+    msk = top >= 0.0
+    return pts, top, msk
+
+
 def capsule_vs_plane(p0, p1, radius, n, offset):
     """Two endpoint spheres -> up to 2 contact points."""
     pt0, d0, h0 = sphere_vs_plane(p0, radius, n, offset)

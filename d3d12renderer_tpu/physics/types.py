@@ -37,6 +37,9 @@ SHAPE_NAMES = {
 # contact_manifold holds up to 4 contacts).
 MAX_CONTACT_POINTS = 4
 
+# Padded convex-hull vertex capacity per collider.
+MAX_HULL_VERTS = 32
+
 
 @struct.dataclass
 class BodyState:
@@ -121,6 +124,11 @@ class SceneArchetype:
     col_restitution: jnp.ndarray   # (C,)
     # Conservative radius of bounding sphere around collider origin, for broadphase.
     col_bound_radius: jnp.ndarray  # (C,)
+    # Convex hull vertex buffer (collider-local), padded; all-False mask for
+    # non-hull colliders (reference hull geometry:
+    # src/physics/bounding_volumes.cpp boundingHullGeometries).
+    col_hull_verts: jnp.ndarray    # (C, MAX_HULL_VERTS, 3)
+    col_hull_mask: jnp.ndarray     # (C, MAX_HULL_VERTS)
 
     # Ground planes (static world geometry): normal/offset, plane dot(n,x) = offset.
     plane_normal: jnp.ndarray      # (G, 3)
