@@ -174,6 +174,7 @@ class SceneBuilder:
         self.bodies: List[_Body] = []
         self.colliders: List[_Collider] = []
         self.planes: List[Tuple[np.ndarray, float, float, float]] = []
+        self.terrains: List[Tuple[np.ndarray, np.ndarray, float, float, float]] = []
         self.joints: List[_Joint] = []
         self._no_collide_groups = 0
 
@@ -324,6 +325,22 @@ class SceneBuilder:
         n = n / np.linalg.norm(n)
         self.planes.append((n.astype(np.float32), float(offset), friction, restitution))
         return len(self.planes) - 1
+
+    def add_terrain(self, heights, origin=(0.0, 0.0, 0.0), cell_size=1.0,
+                    friction=0.8, restitution=0.0):
+        """Static heightfield collider (reference:
+        terrain/heightmap_collider.h:13, physics/heightmap_collision.cpp:509).
+        All terrains in a scene must share the same grid resolution."""
+        h = np.asarray(heights, np.float32)
+        assert h.ndim == 2
+        if self.terrains:
+            assert h.shape == self.terrains[0][0].shape, \
+                "all terrains must share one resolution"
+        self.terrains.append(
+            (h, np.asarray(origin, np.float32), float(cell_size),
+             friction, restitution)
+        )
+        return len(self.terrains) - 1
 
     # -- joints ------------------------------------------------------------
 
@@ -678,6 +695,14 @@ class SceneBuilder:
             for pi in range(g):
                 vs_plane_rows.append((ci, pi, cl.body))
 
+        t_count = len(self.terrains)
+        vs_terrain_rows = []
+        for ci, cl in enumerate(self.colliders):
+            if cl.body < 0 or self.bodies[cl.body].kinematic:
+                continue
+            for ti in range(t_count):
+                vs_terrain_rows.append((ci, ti, cl.body))
+
         tethers = self._compute_tethers(bound_radius)
 
         pair_rows_by_type: Dict[Tuple[int, int], List[Tuple[int, int, int, int]]] = {}
@@ -697,9 +722,12 @@ class SceneBuilder:
                 )
 
         # --- global greedy coloring over all candidate rows ------------
-        # Row order: plane rows first, then buckets sorted by type pair.
+        # Row order: plane rows, terrain rows, then buckets sorted by type
+        # pair — generate_contacts concatenates in this exact order.
         all_rows: List[Tuple[int, int]] = []  # (body_a, body_b) with world = n
         for ci, pi, body in vs_plane_rows:
+            all_rows.append((n, body))
+        for ci, ti, body in vs_terrain_rows:
             all_rows.append((n, body))
         bucket_keys = sorted(pair_rows_by_type.keys())
         for key in bucket_keys:
@@ -715,10 +743,11 @@ class SceneBuilder:
 
         # split colors back into tables
         q = len(vs_plane_rows)
+        q2 = len(vs_terrain_rows)
         vs_plane_color = np.array(colors[:q], np.int32) if q else np.zeros(0, np.int32)
 
         buckets = []
-        offset = q
+        offset = q + q2
         for key in bucket_keys:
             rows = pair_rows_by_type[key]
             k = len(rows)
@@ -776,6 +805,21 @@ class SceneBuilder:
             vs_plane_body=jnp.asarray(np.array([r[2] for r in vs_plane_rows], np.int32)),
             vs_plane_color=jnp.asarray(vs_plane_color),
             vs_plane_valid=jnp.ones(q, bool),
+            terrain_height=jnp.asarray(
+                np.stack([t[0] for t in self.terrains])
+                if t_count else np.zeros((0, 1, 1), np.float32)
+            ),
+            terrain_origin=jnp.asarray(
+                np.stack([t[1] for t in self.terrains])
+                if t_count else np.zeros((0, 3), np.float32)
+            ),
+            terrain_cell=jnp.asarray(np.array([t[2] for t in self.terrains], np.float32)),
+            terrain_friction=jnp.asarray(np.array([t[3] for t in self.terrains], np.float32)),
+            terrain_restitution=jnp.asarray(np.array([t[4] for t in self.terrains], np.float32)),
+            vs_terrain_collider=jnp.asarray(np.array([r[0] for r in vs_terrain_rows], np.int32)),
+            vs_terrain_terrain=jnp.asarray(np.array([r[1] for r in vs_terrain_rows], np.int32)),
+            vs_terrain_body=jnp.asarray(np.array([r[2] for r in vs_terrain_rows], np.int32)),
+            vs_terrain_valid=jnp.ones(q2, bool),
             contact_buckets=tuple(buckets),
             joints=joint_tables,
             contact_color_indices=color_indices,
@@ -783,6 +827,7 @@ class SceneBuilder:
             num_bodies=n,
             num_colliders=c,
             num_planes=g,
+            num_terrains=t_count,
             vs_plane_num_colors=num_colors,
         )
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import maths as m
@@ -51,19 +52,12 @@ def _capsule_endpoints(wpos, wrot, half_len):
     return wpos - axis * half_len[..., None], wpos + axis * half_len[..., None]
 
 
-def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
-    """Manifolds for every (dynamic collider, plane) candidate row."""
-    ci = arch.vs_plane_collider
-    pi = arch.vs_plane_plane
+def _collider_vs_local_plane(arch: SceneArchetype, ci, cpos, crot, n, off):
+    """Per-row manifold of collider ci against a per-row plane (n, off) —
+    shared by static planes and the heightfield tangent-plane path."""
     ctype = arch.col_type[ci]
     size = arch.col_size[ci]
-    cpos = wpos[..., ci, :]
-    crot = wrot[..., ci, :]
-    n = arch.plane_normal[pi]
-    off = arch.plane_offset[pi]
-    n = jnp.broadcast_to(n, cpos.shape)
 
-    q = ci.shape[0]
     pts = jnp.zeros(cpos.shape[:-1] + (4, 3), cpos.dtype)
     dep = jnp.zeros(cpos.shape[:-1] + (4,), cpos.dtype)
     msk = jnp.zeros(cpos.shape[:-1] + (4,), bool)
@@ -108,6 +102,19 @@ def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
     pts = jnp.where(is_hull[..., None], h_pts, pts)
     dep = jnp.where(is_hull, h_dep, dep)
     msk = jnp.where(is_hull, h_msk & jnp.any(hm, -1)[..., None], msk)
+    return pts, dep, msk
+
+
+def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
+    """Manifolds for every (dynamic collider, plane) candidate row."""
+    ci = arch.vs_plane_collider
+    pi = arch.vs_plane_plane
+    cpos = wpos[..., ci, :]
+    crot = wrot[..., ci, :]
+    n = jnp.broadcast_to(arch.plane_normal[pi], cpos.shape)
+    off = arch.plane_offset[pi]
+
+    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off)
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.plane_friction[pi],
@@ -119,6 +126,50 @@ def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
             jnp.full_like(arch.vs_plane_body, arch.world_body), arch.vs_plane_body.shape
         ),
         body_b=arch.vs_plane_body,
+        normal=n,
+        point=pts,
+        depth=dep,
+        pmask=msk,
+        friction=jnp.broadcast_to(friction, dep.shape[:-1]),
+        restitution=jnp.broadcast_to(restitution, dep.shape[:-1]),
+        active=jnp.any(msk, axis=-1),
+    )
+
+
+def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
+    """Collider vs heightfield: sample the terrain under the collider and
+    collide against the local tangent plane (reference:
+    physics/heightmap_collision.cpp:509 — mip descent replaced by a bilinear
+    tangent-plane lookup, exact for smooth terrain)."""
+    from ..terrain.heightmap import sample_height_bilinear
+
+    ci = arch.vs_terrain_collider
+    ti = arch.vs_terrain_terrain
+    cpos = wpos[..., ci, :]
+    crot = wrot[..., ci, :]
+
+    heights = arch.terrain_height[ti]          # (Q2, R, R)
+    origin = arch.terrain_origin[ti]           # (Q2, 3)
+    cell = arch.terrain_cell[ti]
+
+    def sample_one(h, o, cl, p):
+        return sample_height_bilinear(h, o, cl, p[0], p[2])
+
+    hgt, n = jax.vmap(sample_one)(heights, origin, cell, cpos)
+    # Local tangent plane through the surface point under the collider.
+    surf = jnp.stack([cpos[..., 0], hgt, cpos[..., 2]], -1)
+    off = jnp.sum(n * surf, -1)
+
+    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off)
+
+    friction, restitution = narrow.combine_materials(
+        arch.col_friction[ci], arch.terrain_friction[ti],
+        arch.col_restitution[ci], arch.terrain_restitution[ti],
+    )
+    msk = msk & arch.vs_terrain_valid[..., :, None]
+    return ContactTable(
+        body_a=jnp.full_like(arch.vs_terrain_body, arch.world_body),
+        body_b=arch.vs_terrain_body,
         normal=n,
         point=pts,
         depth=dep,
@@ -238,6 +289,8 @@ def generate_contacts(arch: SceneArchetype, state: BodyState) -> ContactTable:
     tables = []
     if arch.vs_plane_collider.shape[0] > 0:
         tables.append(_vs_plane_manifolds(arch, wpos, wrot))
+    if arch.vs_terrain_collider.shape[0] > 0:
+        tables.append(_vs_terrain_manifolds(arch, wpos, wrot))
     for bucket in arch.contact_buckets:
         tables.append(_bucket_manifolds(arch, bucket, wpos, wrot))
     if not tables:

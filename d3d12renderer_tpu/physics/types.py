@@ -143,6 +143,18 @@ class SceneArchetype:
     vs_plane_color: jnp.ndarray    # (Q,) int32
     vs_plane_valid: jnp.ndarray    # (Q,) bool
 
+    # Heightfield terrains (reference: terrain/heightmap_collider.h:13 — the
+    # min-max mip descent becomes a local-tangent-plane lookup per collider).
+    terrain_height: jnp.ndarray      # (T, R, R)
+    terrain_origin: jnp.ndarray      # (T, 3)
+    terrain_cell: jnp.ndarray        # (T,)
+    terrain_friction: jnp.ndarray    # (T,)
+    terrain_restitution: jnp.ndarray # (T,)
+    vs_terrain_collider: jnp.ndarray # (Q2,) int32
+    vs_terrain_terrain: jnp.ndarray  # (Q2,) int32
+    vs_terrain_body: jnp.ndarray     # (Q2,) int32
+    vs_terrain_valid: jnp.ndarray    # (Q2,) bool
+
     contact_buckets: Tuple[ContactBucket, ...]
     joints: Tuple[JointTable, ...]
     # Ragged per-color row-index lists into the flattened contact table
@@ -155,6 +167,7 @@ class SceneArchetype:
     num_bodies: int = struct.field(pytree_node=False)
     num_colliders: int = struct.field(pytree_node=False)
     num_planes: int = struct.field(pytree_node=False)
+    num_terrains: int = struct.field(pytree_node=False)
     vs_plane_num_colors: int = struct.field(pytree_node=False)
 
     @property
