@@ -1,0 +1,173 @@
+"""The frame pipeline: main_renderer's frame graph as one jitted function.
+
+Reference: src/rendering/main_renderer.h:110 + .cpp:758-1040 endFrame —
+shadow maps -> depth prepass (+velocities) -> sky -> HBAO -> SSR -> SSS ->
+opaque PBR -> TAA -> bloom -> tonemap -> sharpen, recorded on 4 CPU threads
+with async-compute fences.  On TPU the whole graph is ONE jit program; XLA
+owns scheduling (no command lists, fences, or barriers — SURVEY.md §2.16-26),
+and the three renderer modes (rasterized / path traced / visualization) pick
+the program.
+
+`renderer_spec` (immutable allow-flags) vs `renderer_settings` (live tunables)
+mirrors main_renderer.h:28-64,100-108.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import maths as m
+from . import post
+from .camera import Camera, halton
+from .gbuffer import GBuffer, render_gbuffer
+from .lights import (
+    PointLights, SpotLights, cull_lights_tiled, eval_brdf_pixel,
+    shade_point_lights, shade_spot_lights,
+)
+from .pathtracer import Scene, sky_radiance
+from .shadows import SunShadowMaps, fit_cascades, render_sun_shadow_maps, \
+    sample_sun_shadow
+
+
+@struct.dataclass
+class RendererSettings:
+    """Live-tunable settings (reference: renderer_settings,
+    main_renderer.h:28-64)."""
+
+    enable_ao: bool = struct.field(pytree_node=False, default=True)
+    enable_sss: bool = struct.field(pytree_node=False, default=False)
+    enable_ssr: bool = struct.field(pytree_node=False, default=True)
+    enable_taa: bool = struct.field(pytree_node=False, default=True)
+    enable_bloom: bool = struct.field(pytree_node=False, default=True)
+    enable_sharpen: bool = struct.field(pytree_node=False, default=True)
+    enable_shadows: bool = struct.field(pytree_node=False, default=True)
+    hbao: post.HBAOSettings = post.HBAOSettings()
+    sss: post.SSSSettings = post.SSSSettings()
+    ssr: post.SSRSettings = post.SSRSettings()
+    taa: post.TAASettings = post.TAASettings()
+    bloom: post.BloomSettings = post.BloomSettings(threshold=3.0, strength=0.3)
+    sharpen: post.SharpenSettings = post.SharpenSettings()
+    tonemap: post.TonemapSettings = post.TonemapSettings()
+    ambient_strength: float = 0.35
+
+
+@struct.dataclass
+class FrameState:
+    """Temporal resources carried between frames (reference: the renderer's
+    history textures, main_renderer.h:218-255)."""
+
+    history: jnp.ndarray          # (H, W, 3) TAA history (pre-tonemap)
+    frame_index: jnp.ndarray     # ()
+
+
+def initial_frame_state(width: int, height: int) -> FrameState:
+    return FrameState(history=jnp.zeros((height, width, 3)),
+                      frame_index=jnp.zeros((), jnp.int32))
+
+
+def render_frame(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    settings: RendererSettings = RendererSettings(),
+    point_lights: Optional[PointLights] = None,
+    spot_lights: Optional[SpotLights] = None,
+    shadow_maps: Optional[SunShadowMaps] = None,
+    frame_state: Optional[FrameState] = None,
+    prev_camera: Optional[Camera] = None,
+    key=None,
+):
+    """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
+
+    aux exposes intermediate targets for inspection like the reference editor
+    panels (editor.h:45-51): ao, shadow, ssr confidence, gbuffer."""
+    gb = render_gbuffer(scene, camera, width, height, prev_camera=prev_camera,
+                        jitter_key=key)
+
+    # --- sun shadow term -------------------------------------------------
+    sun_dir = -scene.sky.sun_direction  # direction light travels
+    if settings.enable_shadows and shadow_maps is not None:
+        lit, _ = sample_sun_shadow(shadow_maps, gb.world_pos)
+    else:
+        lit = jnp.ones((height, width))
+
+    # --- screen-space ambient occlusion ----------------------------------
+    if settings.enable_ao:
+        ao = post.hbao(gb.view_pos, gb.view_normal, settings.hbao, key=key)
+    else:
+        ao = jnp.ones((height, width))
+
+    # --- screen-space (contact) shadows ----------------------------------
+    if settings.enable_sss:
+        sun_view = m.quat_inv_rotate(camera.rotation, -sun_dir)
+        sss = post.screen_space_shadows(gb.view_pos, sun_view, gb.depth,
+                                        settings.sss)
+        lit = lit * sss
+
+    # --- opaque lighting ---------------------------------------------------
+    v = m.noz(camera.position - gb.world_pos)
+    sun_l = -sun_dir
+    f_sun = eval_brdf_pixel(gb.normal, v, jnp.broadcast_to(sun_l, gb.normal.shape),
+                            gb.albedo, gb.roughness, gb.metallic)
+    sun_radiance = scene.sky.sun_radiance * 0.05  # disc radiance -> irradiance
+    color = f_sun * sun_radiance * lit[..., None]
+
+    # Ambient: sky-tinted hemisphere with AO (IBL path available via ibl.py).
+    up = jnp.clip(gb.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+    ambient = (scene.sky.horizon * (1 - up) + scene.sky.zenith * up)
+    color = color + gb.albedo * ambient * settings.ambient_strength * ao[..., None]
+    color = color + gb.emissive
+
+    if point_lights is not None:
+        tile_lists, _ = cull_lights_tiled(gb.view_pos, point_lights, camera,
+                                          width, height)
+        color = color + shade_point_lights(gb, point_lights, tile_lists, camera)
+    if spot_lights is not None:
+        color = color + shade_spot_lights(gb, spot_lights, camera)
+
+    # --- SSR ----------------------------------------------------------------
+    if settings.enable_ssr:
+        refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
+                              gb.roughness, settings.ssr)
+        f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
+        color = color + refl * conf[..., None] * f0
+
+    # --- sky for misses ------------------------------------------------------
+    d = m.noz(gb.world_pos - camera.position)
+    sky = sky_radiance(scene.sky, d.reshape(-1, 3)).reshape(height, width, 3)
+    color = jnp.where(gb.hit[..., None], color, sky)
+
+    # --- TAA ------------------------------------------------------------------
+    if settings.enable_taa and frame_state is not None:
+        first = frame_state.frame_index == 0
+        blended = post.taa(color, frame_state.history, gb.motion, settings.taa)
+        color = jnp.where(first, color, blended)
+        new_state = FrameState(history=color,
+                               frame_index=frame_state.frame_index + 1)
+    else:
+        new_state = frame_state
+
+    # --- bloom / tonemap / sharpen -------------------------------------------
+    if settings.enable_bloom:
+        color = post.bloom(color, settings.bloom)
+    ldr = post.tonemap_uncharted2(color, settings.tonemap)
+    if settings.enable_sharpen:
+        ldr = post.sharpen(ldr, settings.sharpen)
+
+    aux = {"ao": ao, "shadow": lit, "gbuffer": gb}
+    return ldr, new_state, aux
+
+
+def render_frame_with_shadows(scene: Scene, camera: Camera, width, height,
+                              settings: RendererSettings = RendererSettings(),
+                              shadow_resolution=512, **kw):
+    """Convenience: fit + render cascades, then the frame."""
+    maps = fit_cascades(camera.position, -scene.sky.sun_direction)
+    maps = render_sun_shadow_maps(scene.bvh, maps, resolution=shadow_resolution)
+    return render_frame(scene, camera, width, height, settings,
+                        shadow_maps=maps, **kw)
