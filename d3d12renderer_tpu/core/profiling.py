@@ -1,0 +1,132 @@
+"""CPU/device profiling: named blocks, stat counters, chrome-trace export.
+
+Reference: src/core/cpu_profiling.h:14 (RAII blocks into a lock-free event
+ring, per-frame resolve into a block tree + flame chart, CPU_PROFILE_STAT
+counters) and src/dx/dx_profiling.h:25 (GPU timestamps resolved per frame).
+TPU equivalents: host blocks wrap Python orchestration; device timing wraps
+jitted calls with block_until_ready; deep kernel profiles delegate to
+jax.profiler traces (XProf).  Events export as chrome://tracing JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+_tls = threading.local()
+_lock = threading.Lock()
+_events: List[dict] = []       # chrome trace events
+_frame_stats: Dict[str, float] = {}
+_enabled = True
+
+
+def set_enabled(on: bool):
+    global _enabled
+    _enabled = on
+
+
+def _stack() -> List[str]:
+    if not hasattr(_tls, "stack"):
+        _tls.stack = []
+    return _tls.stack
+
+
+@contextmanager
+def profile_block(name: str):
+    """Named timing block (reference: CPU_PROFILE_BLOCK)."""
+    if not _enabled:
+        yield
+        return
+    t0 = time.perf_counter_ns()
+    _stack().append(name)
+    try:
+        yield
+    finally:
+        t1 = time.perf_counter_ns()
+        _stack().pop()
+        with _lock:
+            _events.append({
+                "name": name, "ph": "X",
+                "ts": t0 / 1000.0, "dur": (t1 - t0) / 1000.0,
+                "pid": 0, "tid": threading.get_ident() % 100000,
+            })
+
+
+def profile_stat(name: str, value: float):
+    """Per-frame stat counter (reference: CPU_PROFILE_STAT)."""
+    if _enabled:
+        with _lock:
+            _frame_stats[name] = _frame_stats.get(name, 0.0) + value
+
+
+def resolve_frame() -> Dict[str, Any]:
+    """Collect and clear this frame's events+stats (reference:
+    cpuProfilingResolveTimeStamps at frame start, main.cpp:57)."""
+    global _events, _frame_stats
+    with _lock:
+        ev, _events = _events, []
+        st, _frame_stats = _frame_stats, {}
+    tree = _build_tree(ev)
+    return {"events": ev, "stats": st, "tree": tree}
+
+
+def _build_tree(events: List[dict]) -> List[dict]:
+    """Nest events into a block tree per thread (reference:
+    profiling_internal.h:30-55)."""
+    by_tid: Dict[int, List[dict]] = {}
+    for e in sorted(events, key=lambda e: e["ts"]):
+        by_tid.setdefault(e["tid"], []).append(e)
+    roots = []
+    for tid, evs in by_tid.items():
+        stack: List[dict] = []
+        for e in evs:
+            node = {"name": e["name"], "ts": e["ts"], "dur": e["dur"],
+                    "children": []}
+            while stack and e["ts"] >= stack[-1]["ts"] + stack[-1]["dur"]:
+                stack.pop()
+            (stack[-1]["children"] if stack else roots).append(node)
+            stack.append(node)
+    return roots
+
+
+def export_chrome_trace(path: str, frames: Optional[List[dict]] = None):
+    """Write accumulated events as chrome://tracing / Perfetto JSON."""
+    with _lock:
+        ev = list(_events)
+    if frames:
+        for f in frames:
+            ev.extend(f["events"])
+    with open(path, "w") as f:
+        json.dump({"traceEvents": ev}, f)
+
+
+def time_device(fn, *args, iters: int = 10, warmup: int = 1, **kw) -> float:
+    """Steady-state seconds/call of a jitted function (the GPU-timestamp
+    equivalent: host wall clock around block_until_ready)."""
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+@contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace for XProf (deep per-kernel timing)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,159 @@
+"""Asset pipeline tests: OBJ/PLY loaders, cache invalidation, file registry."""
+
+import os
+import time
+
+import numpy as np
+
+from d3d12renderer_tpu.assets.cache import (
+    FileRegistry, load_image_cached, load_with_cache,
+)
+from d3d12renderer_tpu.assets.loaders import (
+    generate_normals, generate_tangents, load_model, load_obj, load_ply,
+    weld_mesh,
+)
+
+OBJ = """
+mtllib test.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1 4/4/1
+"""
+
+MTL = """
+newmtl red
+Kd 0.9 0.1 0.1
+Ns 250
+"""
+
+PLY_ASCII = """ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 2
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+3 0 1 2
+3 0 2 3
+"""
+
+
+def test_obj_loader_with_mtl(tmp_path):
+    (tmp_path / "quad.obj").write_text(OBJ)
+    (tmp_path / "test.mtl").write_text(MTL)
+    asset = load_obj(str(tmp_path / "quad.obj"))
+    assert len(asset.meshes) == 1
+    mesh = asset.meshes[0]
+    assert len(mesh.indices) == 2  # quad fan-triangulated
+    assert mesh.positions.shape == (4, 3)
+    mat = asset.materials[0]
+    assert abs(mat.albedo[0] - 0.9) < 1e-6
+    assert mat.roughness < 0.8  # shininess mapped
+
+
+def test_ply_ascii_loader(tmp_path):
+    (tmp_path / "quad.ply").write_text(PLY_ASCII)
+    asset = load_ply(str(tmp_path / "quad.ply"))
+    mesh = asset.meshes[0]
+    assert mesh.positions.shape == (4, 3)
+    assert len(mesh.indices) == 2
+    # Normals generated for normal-less file.
+    np.testing.assert_allclose(
+        np.abs(mesh.normals[:, 2]), 1.0, atol=1e-5)
+
+
+def test_load_model_dispatch(tmp_path):
+    (tmp_path / "m.ply").write_text(PLY_ASCII)
+    asset = load_model(str(tmp_path / "m.ply"))
+    assert len(asset.meshes) == 1
+
+
+def test_mesh_postprocessing(tmp_path):
+    (tmp_path / "quad.obj").write_text(OBJ)
+    (tmp_path / "test.mtl").write_text(MTL)
+    mesh = load_obj(str(tmp_path / "quad.obj")).meshes[0]
+    tangents = generate_tangents(mesh)
+    np.testing.assert_allclose(np.linalg.norm(tangents, axis=-1), 1.0, atol=1e-4)
+    # Welding removes duplicates.
+    dup = mesh
+    import copy
+    from d3d12renderer_tpu.render.mesh import MeshData, merge
+    two = merge([mesh, mesh])
+    welded = weld_mesh(two)
+    assert len(welded.positions) == 4
+
+
+def test_cache_hit_and_invalidation(tmp_path):
+    src = tmp_path / "data.txt"
+    src.write_text("hello")
+    calls = []
+
+    def loader(p):
+        calls.append(p)
+        return {"content": open(p).read()}
+
+    r1, cached1 = load_with_cache(str(src), loader)
+    r2, cached2 = load_with_cache(str(src), loader)
+    assert not cached1 and cached2
+    assert len(calls) == 1
+    assert r2["content"] == "hello"
+
+    # Touch the source -> invalidated.
+    time.sleep(0.01)
+    src.write_text("world")
+    r3, cached3 = load_with_cache(str(src), loader)
+    assert not cached3 and r3["content"] == "world"
+    assert len(calls) == 2
+
+
+def test_image_cache(tmp_path):
+    from PIL import Image
+
+    img = Image.fromarray((np.random.default_rng(0).uniform(
+        0, 255, (16, 16, 3))).astype(np.uint8))
+    p = str(tmp_path / "tex.png")
+    img.save(p)
+    mips, cached = load_image_cached(p, generate_mips=True)
+    assert not cached
+    assert mips[0].shape == (16, 16, 3)
+    assert mips[-1].shape[0] == 1
+    mips2, cached2 = load_image_cached(p, generate_mips=True)
+    assert cached2
+
+
+def test_file_registry_handles_and_watch(tmp_path):
+    (tmp_path / "a.obj").write_text("v 0 0 0")
+    reg = FileRegistry(str(tmp_path), seed=42)
+    h = reg.handle_for(str(tmp_path / "a.obj"))
+    assert reg.path_for(h).endswith("a.obj")
+    # Stable across save/load.
+    reg.save()
+    reg2 = FileRegistry(str(tmp_path), seed=1)
+    assert reg2.handle_for(str(tmp_path / "a.obj")) == h
+
+    events = []
+    reg.on_change(lambda kind, rel: events.append((kind, rel)))
+    (tmp_path / "b.obj").write_text("v 1 1 1")
+    reg.scan()
+    assert ("added", "b.obj") in events
+    time.sleep(0.01)
+    (tmp_path / "b.obj").write_text("v 2 2 2")
+    reg.scan()
+    assert ("modified", "b.obj") in events
+    os.remove(tmp_path / "b.obj")
+    reg.scan()
+    assert ("deleted", "b.obj") in events

@@ -1,0 +1,109 @@
+"""Profiling, logging, checkpointing, NaN guard, audio stub tests."""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3d12renderer_tpu.audio.audio import AudioEngine, sine_synth
+from d3d12renderer_tpu.core import log as log_mod
+from d3d12renderer_tpu.core.profiling import (
+    export_chrome_trace, profile_block, profile_stat, resolve_frame,
+    time_device,
+)
+from d3d12renderer_tpu.utils.checkpoint import (
+    CheckpointManager, load_pytree, nan_guard, save_pytree, tree_all_finite,
+)
+
+
+def test_profile_blocks_and_tree():
+    with profile_block("frame"):
+        with profile_block("physics"):
+            time.sleep(0.002)
+        with profile_block("render"):
+            time.sleep(0.001)
+    profile_stat("contacts", 42)
+    profile_stat("contacts", 8)
+    frame = resolve_frame()
+    assert frame["stats"]["contacts"] == 50
+    names = {e["name"] for e in frame["events"]}
+    assert {"frame", "physics", "render"} <= names
+    roots = frame["tree"]
+    assert roots[0]["name"] == "frame"
+    assert {c["name"] for c in roots[0]["children"]} == {"physics", "render"}
+
+
+def test_chrome_trace_export(tmp_path):
+    with profile_block("x"):
+        pass
+    p = str(tmp_path / "trace.json")
+    frame = resolve_frame()
+    export_chrome_trace(p, frames=[frame])
+    doc = json.load(open(p))
+    assert any(e["name"] == "x" for e in doc["traceEvents"])
+
+
+def test_time_device():
+    f = jax.jit(lambda x: x * 2 + 1)
+    dt = time_device(f, jnp.ones(128), iters=3)
+    assert dt > 0
+
+
+def test_log_ring():
+    log_mod.log_info("hello %d", 42)
+    log_mod.log_warning("careful")
+    msgs = log_mod.recent_messages(2)
+    assert msgs[-2].message == "hello 42"
+    assert msgs[-1].level == "warning"
+    assert "test_observability" in msgs[-1].origin
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 2))}}
+    p = str(tmp_path / "x.bin")
+    save_pytree(p, tree)
+    back = load_pytree(p)
+    np.testing.assert_allclose(np.asarray(back["a"]), np.arange(5.0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=2)
+    for step in range(4):
+        mgr.save(step, {"step": jnp.array(step)}, metric=float(step % 3))
+    assert mgr.latest_step() == 3
+    assert int(mgr.latest()["step"]) == 3
+    assert int(mgr.best()["step"]) == 2  # metric 2 was max
+    files = os.listdir(str(tmp_path / "ckpts"))
+    assert len([f for f in files if f.startswith("ckpt_")]) == 2
+
+
+def test_nan_guard_rolls_back():
+    def bad_step(state, scale):
+        return state * scale
+
+    guarded = jax.jit(nan_guard(bad_step))
+    s0 = jnp.ones(4)
+    s1, rolled = guarded(s0, 2.0)
+    assert not bool(rolled)
+    np.testing.assert_allclose(np.asarray(s1), 2.0)
+    s2, rolled2 = guarded(s1, jnp.nan)
+    assert bool(rolled2)
+    np.testing.assert_allclose(np.asarray(s2), 2.0)  # rolled back
+
+
+def test_audio_engine_events():
+    eng = AudioEngine()
+    eng.set_listener((0, 0, 0))
+    h = eng.play_sound_3d("impact.wav", position=(2.0, 0.0, 0.0), volume=1.0)
+    far = eng.play_sound_3d("impact.wav", position=(20.0, 0.0, 0.0))
+    assert eng.effective_volume(h.id) > eng.effective_volume(far.id)
+    eng.set_submix_volume("sfx", 0.5)
+    assert abs(eng.effective_volume(h.id) - 0.5 / (1 + 0.25 * 4)) < 1e-6
+    h.stop()
+    assert h.id not in eng.active_voices()
+    eng.set_reverb("cave")
+    kinds = [e["event"] for e in eng.events]
+    assert kinds.count("play") == 2 and "stop" in kinds and "reverb" in kinds
+    synth = eng.play_synth(sine_synth(220.0))
+    assert synth.id in eng.active_voices()
