@@ -176,6 +176,8 @@ class SceneBuilder:
         self.planes: List[Tuple[np.ndarray, float, float, float]] = []
         self.terrains: List[Tuple[np.ndarray, np.ndarray, float, float, float]] = []
         self.joints: List[_Joint] = []
+        self.force_fields: List[Tuple[np.ndarray, float, np.ndarray]] = []
+        self.triggers: List[Tuple[np.ndarray, float]] = []
         self._no_collide_groups = 0
 
     # -- bodies ------------------------------------------------------------
@@ -341,6 +343,21 @@ class SceneBuilder:
              friction, restitution)
         )
         return len(self.terrains) - 1
+
+    def add_force_field(self, center, radius, force):
+        """Spherical force volume applied to bodies whose COG is inside
+        (reference: physics.cpp:952 force-field interactions)."""
+        self.force_fields.append(
+            (np.asarray(center, np.float32), float(radius),
+             np.asarray(force, np.float32))
+        )
+        return len(self.force_fields) - 1
+
+    def add_trigger(self, center, radius):
+        """Spherical trigger volume producing enter/leave events
+        (reference: trigger components + physics.cpp:1037 callbacks)."""
+        self.triggers.append((np.asarray(center, np.float32), float(radius)))
+        return len(self.triggers) - 1
 
     # -- joints ------------------------------------------------------------
 
@@ -687,6 +704,19 @@ class SceneBuilder:
                 hull_mask[i, :k] = True
 
         # --- candidate pair enumeration --------------------------------
+        # Rows are sorted by collider shape so the runtime kernel dispatch is
+        # one static segment per type (see types.SceneArchetype segments).
+        def type_segments(rows):
+            segs = []
+            for (ci, _, _) in rows:
+                st = self.colliders[ci].shape
+                if segs and segs[-1][0] == st:
+                    segs[-1] = (st, segs[-1][1], segs[-1][2] + 1)
+                else:
+                    start = segs[-1][2] if segs else 0
+                    segs.append((st, start, start + 1))
+            return tuple(segs)
+
         g = len(self.planes)
         vs_plane_rows = []
         for ci, cl in enumerate(self.colliders):
@@ -694,6 +724,8 @@ class SceneBuilder:
                 continue
             for pi in range(g):
                 vs_plane_rows.append((ci, pi, cl.body))
+        vs_plane_rows.sort(key=lambda r: self.colliders[r[0]].shape)
+        vs_plane_segments = type_segments(vs_plane_rows)
 
         t_count = len(self.terrains)
         vs_terrain_rows = []
@@ -702,6 +734,8 @@ class SceneBuilder:
                 continue
             for ti in range(t_count):
                 vs_terrain_rows.append((ci, ti, cl.body))
+        vs_terrain_rows.sort(key=lambda r: self.colliders[r[0]].shape)
+        vs_terrain_segments = type_segments(vs_terrain_rows)
 
         tethers = self._compute_tethers(bound_radius)
 
@@ -820,6 +854,19 @@ class SceneBuilder:
             vs_terrain_terrain=jnp.asarray(np.array([r[1] for r in vs_terrain_rows], np.int32)),
             vs_terrain_body=jnp.asarray(np.array([r[2] for r in vs_terrain_rows], np.int32)),
             vs_terrain_valid=jnp.ones(q2, bool),
+            ff_center=jnp.asarray(
+                np.stack([f[0] for f in self.force_fields])
+                if self.force_fields else np.zeros((0, 3), np.float32)),
+            ff_radius=jnp.asarray(
+                np.array([f[1] for f in self.force_fields], np.float32)),
+            ff_force=jnp.asarray(
+                np.stack([f[2] for f in self.force_fields])
+                if self.force_fields else np.zeros((0, 3), np.float32)),
+            trigger_center=jnp.asarray(
+                np.stack([t[0] for t in self.triggers])
+                if self.triggers else np.zeros((0, 3), np.float32)),
+            trigger_radius=jnp.asarray(
+                np.array([t[1] for t in self.triggers], np.float32)),
             contact_buckets=tuple(buckets),
             joints=joint_tables,
             contact_color_indices=color_indices,
@@ -829,6 +876,8 @@ class SceneBuilder:
             num_planes=g,
             num_terrains=t_count,
             vs_plane_num_colors=num_colors,
+            vs_plane_segments=vs_plane_segments,
+            vs_terrain_segments=vs_terrain_segments,
         )
 
         state = BodyState(

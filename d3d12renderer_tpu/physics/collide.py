@@ -52,56 +52,50 @@ def _capsule_endpoints(wpos, wrot, half_len):
     return wpos - axis * half_len[..., None], wpos + axis * half_len[..., None]
 
 
-def _collider_vs_local_plane(arch: SceneArchetype, ci, cpos, crot, n, off):
+def _collider_vs_local_plane(arch: SceneArchetype, ci, cpos, crot, n, off,
+                             segments):
     """Per-row manifold of collider ci against a per-row plane (n, off) —
-    shared by static planes and the heightfield tangent-plane path."""
-    ctype = arch.col_type[ci]
-    size = arch.col_size[ci]
+    shared by static planes and the heightfield tangent-plane path.
 
-    pts = jnp.zeros(cpos.shape[:-1] + (4, 3), cpos.dtype)
-    dep = jnp.zeros(cpos.shape[:-1] + (4,), cpos.dtype)
-    msk = jnp.zeros(cpos.shape[:-1] + (4,), bool)
+    `segments` are static (shape_type, start, end) runs (rows pre-sorted by
+    type at build time), so each segment compiles ONLY its own kernel."""
+    pts_parts, dep_parts, msk_parts = [], [], []
+    for (stype, s, e) in segments:
+        ci_s = ci[s:e]
+        cpos_s = cpos[..., s:e, :]
+        crot_s = crot[..., s:e, :]
+        n_s = n[..., s:e, :]
+        off_s = off[..., s:e]
+        size = arch.col_size[ci_s]
 
-    # Sphere rows.
-    s_pts, s_dep, s_msk = narrow.sphere_vs_plane(cpos, size[..., 0], n, off)
-    is_sphere = (ctype == SHAPE_SPHERE)[..., None]
-    pts = jnp.where(is_sphere[..., None], _pad4(s_pts), pts)
-    dep = jnp.where(is_sphere, _pad4d(s_dep), dep)
-    msk = jnp.where(is_sphere, _pad4m(s_msk), msk)
+        if stype == SHAPE_SPHERE:
+            p, d, k = narrow.sphere_vs_plane(cpos_s, size[..., 0], n_s, off_s)
+            p, d, k = _pad4(p), _pad4d(d), _pad4m(k)
+        elif stype == SHAPE_CAPSULE:
+            p0, p1 = _capsule_endpoints(cpos_s, crot_s, size[..., 1])
+            p, d, k = narrow.capsule_vs_plane(p0, p1, size[..., 0], n_s, off_s)
+            p, d, k = _pad4(p), _pad4d(d), _pad4m(k)
+        elif stype == SHAPE_BOX:
+            p, d, k = narrow.box_vs_plane(cpos_s, crot_s, size, n_s, off_s)
+        elif stype == SHAPE_CYLINDER:
+            p, d, k = narrow.cylinder_vs_plane(
+                cpos_s, crot_s, size[..., 0], size[..., 1], n_s, off_s)
+        elif stype == SHAPE_HULL:
+            hv = arch.col_hull_verts[ci_s]
+            hm = arch.col_hull_mask[ci_s]
+            wverts = cpos_s[..., None, :] + m.quat_rotate(
+                crot_s[..., None, :], hv)
+            p, d, k = narrow.hull_vs_plane(wverts, hm, n_s, off_s)
+            k = k & jnp.any(hm, -1)[..., None]
+        else:
+            raise NotImplementedError(f"plane narrowphase for type {stype}")
+        pts_parts.append(p)
+        dep_parts.append(d)
+        msk_parts.append(k)
 
-    # Capsule rows.
-    p0, p1 = _capsule_endpoints(cpos, crot, size[..., 1])
-    c_pts, c_dep, c_msk = narrow.capsule_vs_plane(p0, p1, size[..., 0], n, off)
-    is_caps = (ctype == SHAPE_CAPSULE)[..., None]
-    pts = jnp.where(is_caps[..., None], _pad4(c_pts), pts)
-    dep = jnp.where(is_caps, _pad4d(c_dep), dep)
-    msk = jnp.where(is_caps, _pad4m(c_msk), msk)
-
-    # Box rows.
-    b_pts, b_dep, b_msk = narrow.box_vs_plane(cpos, crot, size, n, off)
-    is_box = (ctype == SHAPE_BOX)[..., None]
-    pts = jnp.where(is_box[..., None], b_pts, pts)
-    dep = jnp.where(is_box, b_dep, dep)
-    msk = jnp.where(is_box, b_msk, msk)
-
-    # Cylinder rows.
-    cy_pts, cy_dep, cy_msk = narrow.cylinder_vs_plane(
-        cpos, crot, size[..., 0], size[..., 1], n, off
-    )
-    is_cyl = (ctype == SHAPE_CYLINDER)[..., None]
-    pts = jnp.where(is_cyl[..., None], cy_pts, pts)
-    dep = jnp.where(is_cyl, cy_dep, dep)
-    msk = jnp.where(is_cyl, cy_msk, msk)
-
-    # Hull rows: 4 deepest world-space vertices.
-    hv = arch.col_hull_verts[ci]
-    hm = arch.col_hull_mask[ci]
-    wverts = cpos[..., None, :] + m.quat_rotate(crot[..., None, :], hv)
-    h_pts, h_dep, h_msk = narrow.hull_vs_plane(wverts, hm, n, off)
-    is_hull = (ctype == SHAPE_HULL)[..., None]
-    pts = jnp.where(is_hull[..., None], h_pts, pts)
-    dep = jnp.where(is_hull, h_dep, dep)
-    msk = jnp.where(is_hull, h_msk & jnp.any(hm, -1)[..., None], msk)
+    pts = jnp.concatenate(pts_parts, axis=-3)
+    dep = jnp.concatenate(dep_parts, axis=-2)
+    msk = jnp.concatenate(msk_parts, axis=-2)
     return pts, dep, msk
 
 
@@ -114,7 +108,8 @@ def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
     n = jnp.broadcast_to(arch.plane_normal[pi], cpos.shape)
     off = arch.plane_offset[pi]
 
-    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off)
+    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off,
+                                             arch.vs_plane_segments)
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.plane_friction[pi],
@@ -160,7 +155,8 @@ def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
     surf = jnp.stack([cpos[..., 0], hgt, cpos[..., 2]], -1)
     off = jnp.sum(n * surf, -1)
 
-    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off)
+    pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off,
+                                             arch.vs_terrain_segments)
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.terrain_friction[ti],

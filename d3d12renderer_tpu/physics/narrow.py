@@ -64,9 +64,22 @@ def _pad_points(points, depths, masks):
 
 
 def jax_top_k(x, k):
+    """Top-k by iterated masked argmax: lax.top_k lowers to a full sort on
+    TPU, which dominates narrowphase time for k=4 selections."""
     import jax
 
-    return jax.lax.top_k(x, k)
+    kk = x.shape[-1]
+    if k >= kk:
+        return jax.lax.top_k(x, k)
+    s = x
+    vals, idxs = [], []
+    lane = jnp.arange(kk)
+    for _ in range(k):
+        i = jnp.argmax(s, -1)
+        vals.append(jnp.take_along_axis(s, i[..., None], -1)[..., 0])
+        idxs.append(i)
+        s = jnp.where(lane == i[..., None], -jnp.inf, s)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
 # ---------------------------------------------------------------------------

@@ -71,9 +71,14 @@ def physics_substep(
     # narrowphase runs before force integration).
     contacts = collide.generate_contacts(arch, state)
 
+    force = state.force
+    if arch.ff_center.shape[0] > 0:
+        from .events import apply_force_fields
+        force = force + apply_force_fields(arch, state)
+
     vel, omega, inv_inertia_w = integrate_forces(
         arch, state.pos, state.rot, state.vel, state.omega,
-        state.force, state.torque, dt, settings.global_force_field,
+        force, state.torque, dt, settings.global_force_field,
     )
 
     # Extend to N+1 slots: the static world body (reference dummyRigidBodyIndex).

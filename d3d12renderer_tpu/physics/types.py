@@ -155,6 +155,14 @@ class SceneArchetype:
     vs_terrain_body: jnp.ndarray     # (Q2,) int32
     vs_terrain_valid: jnp.ndarray    # (Q2,) bool
 
+    # Non-collision interactions (reference: physics.cpp:952 force fields +
+    # triggers; trigger/collision begin/end events physics.cpp:1037).
+    ff_center: jnp.ndarray         # (F, 3) force-field sphere centers
+    ff_radius: jnp.ndarray         # (F,)
+    ff_force: jnp.ndarray          # (F, 3)
+    trigger_center: jnp.ndarray    # (TR, 3)
+    trigger_radius: jnp.ndarray    # (TR,)
+
     contact_buckets: Tuple[ContactBucket, ...]
     joints: Tuple[JointTable, ...]
     # Ragged per-color row-index lists into the flattened contact table
@@ -169,6 +177,13 @@ class SceneArchetype:
     num_planes: int = struct.field(pytree_node=False)
     num_terrains: int = struct.field(pytree_node=False)
     vs_plane_num_colors: int = struct.field(pytree_node=False)
+    # Static (shape_type, start, end) segments: vs-plane/terrain rows are
+    # sorted by collider type at build time so each segment runs ONLY its own
+    # narrowphase kernel (instead of evaluating all five and selecting).
+    vs_plane_segments: Tuple[Tuple[int, int, int], ...] = struct.field(
+        pytree_node=False, default=())
+    vs_terrain_segments: Tuple[Tuple[int, int, int], ...] = struct.field(
+        pytree_node=False, default=())
 
     @property
     def world_body(self) -> int:
