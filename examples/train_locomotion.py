@@ -1,0 +1,72 @@
+"""Train the ragdoll locomotion policy with on-device PPO.
+
+The TPU replacement for the reference's learn_locomotion.py (SubprocVecEnv +
+stable-baselines3): rollouts and updates run in one jit program; data
+parallelism over a device mesh via --mesh.
+
+Usage:
+  python examples/train_locomotion.py [--iterations 50] [--envs 256]
+      [--platform cpu|axon] [--mesh N] [--logdir tmp/loco]
+"""
+
+import argparse
+import os
+import time
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--iterations", type=int, default=20)
+parser.add_argument("--envs", type=int, default=128)
+parser.add_argument("--rollout", type=int, default=64)
+parser.add_argument("--platform", default=None)
+parser.add_argument("--mesh", type=int, default=0, help="data-parallel devices")
+parser.add_argument("--logdir", default="tmp/loco")
+args = parser.parse_args()
+
+import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+import numpy as np
+
+from d3d12renderer_tpu.learning.loco_env import LocoEnv
+from d3d12renderer_tpu.learning.monitor import MonitorCSV, init_stats, update_stats
+from d3d12renderer_tpu.learning.ppo import PPOConfig, make_ppo
+from d3d12renderer_tpu.utils.checkpoint import CheckpointManager
+
+os.makedirs(args.logdir, exist_ok=True)
+env = LocoEnv()
+config = PPOConfig(num_envs=args.envs, rollout_steps=args.rollout,
+                   minibatches=8, epochs=4)
+
+if args.mesh > 1:
+    from d3d12renderer_tpu.parallel.data_parallel import (
+        make_distributed_ppo, make_mesh,
+    )
+    mesh = make_mesh(args.mesh)
+    init, train_iteration, _ = make_distributed_ppo(env, config, mesh)
+    print(f"data-parallel over {args.mesh} devices, "
+          f"{args.envs * args.mesh} envs total")
+else:
+    init, train_iteration, _ = make_ppo(env, config)
+
+state = init(jax.random.PRNGKey(0))
+ckpts = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
+monitor = MonitorCSV(os.path.join(args.logdir, "episodes.csv"))
+
+steps_per_iter = args.envs * args.rollout * max(args.mesh, 1)
+t0 = time.time()
+for it in range(args.iterations):
+    state, metrics = train_iteration(state)
+    r = float(metrics["reward_mean"])
+    if it % 5 == 0 or it == args.iterations - 1:
+        dt = time.time() - t0
+        sps = steps_per_iter * (it + 1) / dt
+        print(f"iter {it:4d}  reward/step {r:.3f}  "
+              f"done-rate {float(metrics['episode_done_rate']):.4f}  "
+              f"vf_loss {float(metrics['vf_loss']):.4f}  "
+              f"{sps:,.0f} env-steps/s")
+        ckpts.save(it, state.params, metric=r)
+
+print(f"trained {args.iterations * steps_per_iter:,} env-steps "
+      f"in {time.time() - t0:.1f}s; checkpoints in {args.logdir}")
