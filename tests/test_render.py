@@ -107,3 +107,30 @@ def test_primitive_meshes_valid():
         assert mesh.indices.max() < len(mesh.positions)
         n = np.linalg.norm(mesh.normals, axis=-1)
         np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+
+def test_dense_path_matches_bvh_traversal():
+    """The MXU dense intersector and the skip-link traversal must agree."""
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+
+    ground = mesh_mod.quad(half=5.0)
+    sphere = mesh_mod.ico_sphere(1.0, 2).transformed(translate=(0, 1.0, 0))
+    meshes = [(ground, 0), (sphere, 1)]
+    dense_bvh = bvh_mod.build_bvh(meshes, use_dense=True)
+    loop_bvh = bvh_mod.build_bvh(meshes, use_dense=False)
+    assert dense_bvh.dense is not None and loop_bvh.dense is None
+
+    rng = np.random.default_rng(1)
+    o = np.array([[0.0, 3.0, 5.0]]).repeat(128, 0).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d[:, 1] -= 0.6
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    r1 = jax.jit(lambda o, d: bvh_mod.closest_hit(dense_bvh, o, d))(
+        jnp.asarray(o), jnp.asarray(d))
+    r2 = jax.jit(lambda o, d: bvh_mod.closest_hit(loop_bvh, o, d))(
+        jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(r1["hit"]), np.asarray(r2["hit"]))
+    hit = np.asarray(r1["hit"])
+    np.testing.assert_allclose(np.asarray(r1["t"])[hit],
+                               np.asarray(r2["t"])[hit], rtol=1e-3, atol=1e-3)
