@@ -41,22 +41,22 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
 
     o = o_ref[:]          # (RB, 3)
     d = d_ref[:]          # (RB, 3)
-    tri = tri_ref[:]      # (C, 13): n(3), n_off, e1p(3), e1_off, e2p(3),
-    n = tri[:, 0:3]       #          e2_off, valid
-    n_off = tri[:, 3]
-    e1p = tri[:, 4:7]
-    e1_off = tri[:, 7]
-    e2p = tri[:, 8:11]
-    e2_off = tri[:, 11]
-    valid = tri[:, 12]    # 1.0 for real triangles
+    tri = tri_ref[:]      # (16, C) rows: n(3), n_off, e1p(3), e1_off,
+    n = tri[0:3]          #               e2p(3), e2_off, valid, pad(3)
+    n_off = tri[3]
+    e1p = tri[4:7]
+    e1_off = tri[7]
+    e2p = tri[8:11]
+    e2_off = tri[11]
+    valid = tri[12]       # 1.0 for real triangles
 
-    no = jnp.dot(o, n.T, preferred_element_type=jnp.float32)     # (RB, C)
-    nd = jnp.dot(d, n.T, preferred_element_type=jnp.float32)
+    no = jnp.dot(o, n, preferred_element_type=jnp.float32)       # (RB, C)
+    nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
     t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
-    uo = jnp.dot(o, e1p.T, preferred_element_type=jnp.float32)
-    ud = jnp.dot(d, e1p.T, preferred_element_type=jnp.float32)
-    vo = jnp.dot(o, e2p.T, preferred_element_type=jnp.float32)
-    vd = jnp.dot(d, e2p.T, preferred_element_type=jnp.float32)
+    uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
+    ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
+    vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
+    vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
     u = uo + t * ud + e1_off[None, :]
     v = vo + t * vd + e2_off[None, :]
 
@@ -85,7 +85,8 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
 
 
 def pack_tris(dense) -> jnp.ndarray:
-    """(T, 13) plane+validity table from render.bvh.DenseTris, padded."""
+    """(16, T) row-major plane+validity table (transposed so kernel
+    slices are contiguous rows and the dots need no in-kernel transpose)."""
     t = dense.n.shape[0]
     pad = (-t) % TRI_CHUNK
     tbl = jnp.concatenate([
@@ -93,8 +94,9 @@ def pack_tris(dense) -> jnp.ndarray:
         dense.e1p, dense.e1_off[:, None],
         dense.e2p, dense.e2_off[:, None],
         dense.valid.astype(jnp.float32)[:, None],
+        jnp.zeros((t, 3), jnp.float32),
     ], axis=-1)
-    return jnp.pad(tbl, ((0, pad), (0, 0)))
+    return jnp.pad(tbl, ((0, pad), (0, 0))).T
 
 
 def closest_hit_pallas(dense, origin, direction, t_max=1e30,
@@ -103,7 +105,7 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
 
     origin/direction (R, 3); returns {t, tri, uv, hit} like closest_hit."""
     tbl = pack_tris(dense)
-    t_count = tbl.shape[0]
+    t_count = tbl.shape[1]
 
     r = origin.shape[0]
     pad_r = (-r) % RAY_BLOCK
@@ -131,7 +133,7 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
         grid=grid,
         in_specs=[
             ray_spec, ray_spec, per_ray,
-            pl.BlockSpec((TRI_CHUNK, 13), lambda rb, tc: (tc, 0),
+            pl.BlockSpec((16, TRI_CHUNK), lambda rb, tc: (0, tc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(per_ray, per_ray, per_ray, per_ray),

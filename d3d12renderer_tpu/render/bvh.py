@@ -239,6 +239,18 @@ def _ray_tris(o, d, v0, e1, e2, valid, t_max):
 DENSE_CHUNK = 512
 DENSE_MAX_TRIS = 131072
 
+# Ray intersection backend over the dense tables:
+#   "dense"  — XLA matmul scan (2.9 Mrays/s on v5e at ~1.3k tris; portable)
+#   "pallas" — VMEM-resident Pallas kernel (19.5 Mrays/s measured, 6.7x; TPU)
+# The skip-link traversal runs when no dense tables exist (big scenes).
+_RAY_BACKEND = "dense"
+
+
+def set_ray_backend(name: str):
+    global _RAY_BACKEND
+    assert name in ("dense", "pallas")
+    _RAY_BACKEND = name
+
 
 @struct.dataclass
 class DenseTris:
@@ -364,6 +376,10 @@ def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512):
     origin/direction (R, 3).  Returns dict of (R,) arrays:
     t, tri (int32, -1 = miss), u, v."""
     if bvh.dense is not None:
+        if _RAY_BACKEND == "pallas":
+            from ..ops.ray_trace_pallas import closest_hit_pallas
+            return closest_hit_pallas(bvh.dense, origin, direction,
+                                      t_max=t_max)
         return closest_hit_dense(bvh.dense, origin, direction, t_max=t_max)
     r = origin.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
