@@ -267,16 +267,12 @@ def load_ply(path: str) -> ModelAsset:
 # --------------------------------------------------------------------------
 
 def generate_normals(mesh: MeshData) -> MeshData:
-    """Area-weighted vertex normals."""
-    p = mesh.positions
-    i = mesh.indices
-    fn = np.cross(p[i[:, 1]] - p[i[:, 0]], p[i[:, 2]] - p[i[:, 0]])
-    n = np.zeros_like(p)
-    for k in range(3):
-        np.add.at(n, i[:, k], fn)
-    ln = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / np.maximum(ln, 1e-12)
-    return MeshData(p, n.astype(np.float32), mesh.uvs, i)
+    """Area-weighted vertex normals (native C++ path when available)."""
+    from .native import compute_normals
+
+    n = compute_normals(mesh.positions, mesh.indices)
+    return MeshData(mesh.positions, n.astype(np.float32), mesh.uvs,
+                    mesh.indices)
 
 
 def generate_tangents(mesh: MeshData) -> np.ndarray:
@@ -298,13 +294,16 @@ def generate_tangents(mesh: MeshData) -> np.ndarray:
 
 
 def weld_mesh(mesh: MeshData, tolerance=1e-5) -> MeshData:
-    """Merge duplicate vertices (reference: mesh_postprocessing weld)."""
-    key = np.round(mesh.positions / tolerance).astype(np.int64)
-    _, first, inverse = np.unique(key, axis=0, return_index=True,
-                                  return_inverse=True)
+    """Merge duplicate vertices (reference: mesh_postprocessing weld;
+    native grid-hash path when available)."""
+    from .native import weld_remap
+
+    unique, remap = weld_remap(mesh.positions, tolerance)
+    first = np.zeros(unique, np.int64)
+    first[remap[::-1]] = np.arange(len(mesh.positions))[::-1]  # first hit wins
     return MeshData(
         mesh.positions[first], mesh.normals[first], mesh.uvs[first],
-        inverse[mesh.indices].astype(np.int32),
+        remap[mesh.indices].astype(np.int32),
     )
 
 

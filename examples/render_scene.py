@@ -13,11 +13,17 @@ parser.add_argument("--size", type=int, default=512)
 parser.add_argument("--spp", type=int, default=16)
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="render.png")
+parser.add_argument("--backend", default="dense", choices=["dense", "pallas"],
+                    help="ray intersection backend (pallas = TPU VMEM kernel)")
 args = parser.parse_args()
 
 import jax
 
 jax.config.update("jax_platforms", args.platform)
+
+from d3d12renderer_tpu.render.bvh import set_ray_backend
+
+set_ray_backend(args.backend)
 
 import jax.numpy as jnp
 import numpy as np

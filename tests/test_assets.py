@@ -157,3 +157,53 @@ def test_file_registry_handles_and_watch(tmp_path):
     os.remove(tmp_path / "b.obj")
     reg.scan()
     assert ("deleted", "b.obj") in events
+
+
+def test_native_mesh_ops():
+    """Native C++ mesh ops compile and agree with the NumPy fallbacks."""
+    import numpy as np
+
+    from d3d12renderer_tpu.assets import native
+
+    assert native.native_available(), "g++ build of native/mesh_ops.cpp failed"
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(500, 3)).astype(np.float32)
+    pos_dup = np.concatenate([pos, pos[:100] + 1e-7])
+    unique, remap = native.weld_remap(pos_dup, tolerance=1e-4)
+    assert unique == 500
+    assert (remap[:100] == remap[500:]).all()
+
+    idx = rng.integers(0, 500, size=(300, 3)).astype(np.int32)
+    n_native = native.compute_normals(pos, idx)
+    # Force the fallback for comparison.
+    native._lib, native._tried = None, True
+    try:
+        n_py = native.compute_normals(pos, idx)
+    finally:
+        native._tried = False
+    np.testing.assert_allclose(n_native, n_py, atol=1e-5)
+
+    text = "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n"
+    p, t = native.parse_obj_geometry(text)
+    assert p.shape == (4, 3) and t.shape == (2, 3)
+    assert t[0].tolist() == [0, 1, 2] and t[1].tolist() == [0, 2, 3]
+
+
+def test_native_obj_speed_sanity():
+    """The native parser handles a larger synthetic OBJ correctly."""
+    import numpy as np
+
+    from d3d12renderer_tpu.assets import native
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    verts = rng.normal(size=(n, 3))
+    lines = [f"v {x:.5f} {y:.5f} {z:.5f}" for x, y, z in verts]
+    faces = rng.integers(1, n + 1, size=(8000, 3))
+    lines += [f"f {a} {b} {c}" for a, b, c in faces]
+    text = "\n".join(lines) + "\n"
+    p, t = native.parse_obj_geometry(text)
+    assert p.shape == (n, 3) and t.shape == (8000, 3)
+    np.testing.assert_allclose(p, verts.astype(np.float32), atol=1e-4)
+    np.testing.assert_array_equal(t, faces - 1)
