@@ -313,4 +313,8 @@ def load_model(path: str) -> ModelAsset:
         return load_obj(path)
     if ext == ".ply":
         return load_ply(path)
+    if ext == ".fbx":
+        from .fbx import load_fbx
+
+        return load_fbx(path)
     raise ValueError(f"unsupported model format: {ext}")
