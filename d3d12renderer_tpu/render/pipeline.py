@@ -171,3 +171,38 @@ def render_frame_with_shadows(scene: Scene, camera: Camera, width, height,
     maps = render_sun_shadow_maps(scene.bvh, maps, resolution=shadow_resolution)
     return render_frame(scene, camera, width, height, settings,
                         shadow_maps=maps, **kw)
+
+
+CASCADE_COLORS = jnp.array([
+    [1.0, 0.3, 0.3], [0.3, 1.0, 0.3], [0.3, 0.3, 1.0], [1.0, 1.0, 0.3],
+])
+
+
+def render_mode(scene: Scene, camera: Camera, width: int, height: int,
+                mode: str = "rasterized", settings=None, spp: int = 8,
+                key=None, **kw):
+    """The renderer's three modes (reference: main_renderer.h:83-90 —
+    rasterized / visualize_sun_shadow_cascades / path_traced)."""
+    if mode == "rasterized":
+        return render_frame_with_shadows(
+            scene, camera, width, height, settings or RendererSettings(),
+            key=key, **kw)[0]
+    if mode == "path_traced":
+        from .pathtracer import PathTracerSettings, render, tonemap_filmic
+
+        img = render(scene, camera, width, height,
+                     settings or PathTracerSettings(), spp=spp, key=key)
+        return tonemap_filmic(img)
+    if mode == "visualize_cascades":
+        from .gbuffer import render_gbuffer
+
+        gb = render_gbuffer(scene, camera, width, height)
+        maps = fit_cascades(camera.position, -scene.sky.sun_direction)
+        maps = render_sun_shadow_maps(scene.bvh, maps, resolution=256)
+        lit, cascade = sample_sun_shadow(maps, gb.world_pos)
+        tint = CASCADE_COLORS[jnp.clip(cascade, 0, 3)]
+        base = gb.albedo * lit[..., None]
+        out = jnp.where((cascade >= 0)[..., None], base * 0.4 + tint * 0.6,
+                        base)
+        return jnp.where(gb.hit[..., None], out, 0.0)
+    raise ValueError(f"unknown renderer mode {mode!r}")

@@ -168,3 +168,51 @@ def test_ibl_sh_and_brdf_lut():
     assert l.shape == (16, 16, 2)
     assert np.isfinite(l).all()
     assert (l >= 0).all() and (l[..., 0] <= 1.5).all()
+
+
+def test_water_pass_composites(scene, cam):
+    from d3d12renderer_tpu.render.gbuffer import render_gbuffer
+    from d3d12renderer_tpu.render.water_pass import water_pass
+
+    gb = render_gbuffer(scene, cam, W, H)
+    color = jnp.full((H, W, 3), 0.5)
+    out = jax.jit(lambda c: water_pass(c, gb, cam, scene.sky,
+                                       water_height=0.3, time=0.2))(color)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    changed = np.abs(out - 0.5).max(-1) > 1e-3
+    # Water covers part of the frame (rays crossing the plane) but not all
+    # (sky above the horizon stays).
+    assert 0.05 < changed.mean() < 0.95
+    # Animated: a different time changes the surface.
+    out2 = np.asarray(water_pass(color, gb, cam, scene.sky,
+                                 water_height=0.3, time=1.7))
+    assert np.abs(out2 - out).max() > 1e-3
+
+
+def test_renderer_modes(scene, cam):
+    from d3d12renderer_tpu.render.pipeline import render_mode
+
+    vis = np.asarray(render_mode(scene, cam, 32, 32,
+                                 mode="visualize_cascades"))
+    assert np.isfinite(vis).all() and vis.max() > 0.1
+    pt = np.asarray(render_mode(scene, cam, 32, 32, mode="path_traced",
+                                spp=2, key=jax.random.PRNGKey(0)))
+    assert np.isfinite(pt).all() and 0 <= pt.min() and pt.max() <= 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        render_mode(scene, cam, 8, 8, mode="nope")
+
+
+def test_render_resources_defaults():
+    from d3d12renderer_tpu.render import resources as rr
+
+    assert float(rr.default_white().min()) == 1.0
+    assert float(rr.default_black().max()) == 0.0
+    nm = rr.default_normal_map()
+    assert float(nm[0, 0, 2]) == 1.0
+    lut = rr.brdf_lookup(16)
+    assert lut.shape == (16, 16, 2)
+    assert rr.brdf_lookup(16) is lut  # cached
+    ck = np.asarray(rr.checker_texture(16, 4))
+    assert len(np.unique(ck)) == 2
