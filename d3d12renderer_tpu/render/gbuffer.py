@@ -70,7 +70,9 @@ def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
     vp = _world_to_view(camera, wp)
     vn = m.quat_inv_rotate(camera.rotation[None], n)
 
-    albedo = scene.materials.albedo[mat]
+    from .pathtracer import sample_albedo
+
+    albedo = sample_albedo(scene.materials, mat, uv)
     rough = scene.materials.roughness[mat]
     metal = scene.materials.metallic[mat]
     emissive = scene.materials.emissive[mat]

@@ -36,6 +36,28 @@ class Materials:
     emissive: jnp.ndarray    # (M, 3)
     roughness: jnp.ndarray   # (M,)
     metallic: jnp.ndarray    # (M,)
+    # Optional albedo textures: a square atlas stack + per-material index
+    # (-1 = untextured).  Reference: pbr_material albedo maps with tint
+    # (src/rendering/pbr_material.h:25-60).
+    texture_atlas: jnp.ndarray = None    # (K, R, R, 3) or None
+    albedo_texture: jnp.ndarray = None   # (M,) int32 or None
+
+
+def sample_albedo(materials: "Materials", mat, uv):
+    """Per-hit albedo: constant tint x optional texture sample (wrap)."""
+    base = materials.albedo[mat]
+    if materials.texture_atlas is None:
+        return base
+    ti = materials.albedo_texture[mat]
+    has = ti >= 0
+    t = jnp.maximum(ti, 0)
+    r = materials.texture_atlas.shape[1]
+    u = jnp.mod(uv[..., 0], 1.0)
+    v = jnp.mod(uv[..., 1], 1.0)
+    px = jnp.clip((u * (r - 1)).astype(jnp.int32), 0, r - 1)
+    py = jnp.clip((v * (r - 1)).astype(jnp.int32), 0, r - 1)
+    tex = materials.texture_atlas[t, py, px]
+    return jnp.where(has[..., None], base * tex, base)
 
 
 @struct.dataclass
@@ -220,7 +242,7 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
         )
 
         n, gn, uv, mat = bvh_mod.hit_attributes(scene.bvh, res)
-        albedo = scene.materials.albedo[mat]
+        albedo = sample_albedo(scene.materials, mat, uv)
         rough = scene.materials.roughness[mat]
         metal = scene.materials.metallic[mat]
         emissive = scene.materials.emissive[mat]

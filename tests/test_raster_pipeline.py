@@ -216,3 +216,46 @@ def test_render_resources_defaults():
     assert rr.brdf_lookup(16) is lut  # cached
     ck = np.asarray(rr.checker_texture(16, 4))
     assert len(np.unique(ck)) == 2
+
+
+def test_decals_modify_gbuffer(scene, cam, gb):
+    from d3d12renderer_tpu.render.decals import apply_decals, make_decals
+
+    decals = make_decals(
+        positions=[[0.0, 0.0, 0.0]],
+        rotations=[[0.0, 0.0, 0.0, 1.0]],
+        half_extents=[[2.0, 1.0, 2.0]],
+        albedos=[[1.0, 0.0, 0.0]],
+    )
+    gb2 = apply_decals(gb, decals)
+    a0 = np.asarray(gb.albedo)
+    a1 = np.asarray(gb2.albedo)
+    changed = np.abs(a1 - a0).max(-1) > 1e-3
+    hit = np.asarray(gb.hit)
+    assert changed.any()
+    assert not changed[~hit].any()  # decals only touch surfaces
+    # Inside the box the albedo is pulled toward red.
+    assert a1[changed][:, 0].mean() > a0[changed][:, 0].mean()
+
+
+def test_textured_albedo_sampling():
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+    from d3d12renderer_tpu.render.pathtracer import Materials, sample_albedo
+    from d3d12renderer_tpu.render.resources import checker_texture
+
+    atlas = jnp.stack([checker_texture(16, 4)])
+    mats = Materials(
+        albedo=jnp.array([[1.0, 1.0, 1.0], [0.5, 0.5, 0.5]]),
+        emissive=jnp.zeros((2, 3)),
+        roughness=jnp.ones(2) * 0.5,
+        metallic=jnp.zeros(2),
+        texture_atlas=atlas,
+        albedo_texture=jnp.array([0, -1], jnp.int32),
+    )
+    uv = jnp.array([[0.1, 0.1], [0.35, 0.1], [0.1, 0.1]])
+    mat = jnp.array([0, 0, 1], jnp.int32)
+    a = np.asarray(sample_albedo(mats, mat, uv))
+    # Textured material varies across the checker; untextured stays constant.
+    assert abs(a[0, 0] - a[1, 0]) > 0.1
+    np.testing.assert_allclose(a[2], [0.5, 0.5, 0.5], atol=1e-6)
