@@ -119,6 +119,30 @@ def physics_substep(
     )
     joint_preps = joints_mod.prep_all(arch, ctx, motor_overrides)
 
+    has_joints = len(arch.joints) > 0
+    if (
+        mode == "colored"
+        and settings.solver_backend != "xla"
+        and (has_joints or prep is not None)
+    ):
+        # Whole-iteration-loop solver: one Pallas VMEM kernel when batched on
+        # TPU, the identical XLA colored path otherwise (solver_pallas.py).
+        from . import solver_pallas
+        solve = solver_pallas.make_colored_solver(
+            arch, num_pairs, settings.solver_iterations,
+            settings.solver_backend,
+        )
+        vel1, omega1 = solve(joint_preps, prep, vel1, omega1)
+        vel = vel1[:n]
+        omega = omega1[:n]
+        pos, rot = integrate_velocities(state.pos, state.rot, vel, omega, dt)
+        new_state = state.replace(
+            pos=pos, rot=rot, vel=vel, omega=omega,
+            force=jnp.zeros_like(state.force),
+            torque=jnp.zeros_like(state.torque),
+        )
+        return new_state, contacts
+
     imp_n = jnp.zeros((num_pairs, 4), vel.dtype)
     imp_t = jnp.zeros((num_pairs, 4), vel.dtype)
 

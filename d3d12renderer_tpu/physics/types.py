@@ -202,6 +202,10 @@ class PhysicsSettings:
     #    same-body conflicts within a batch, src/physics/constraints.cpp:3456).
     # "split_jacobi": parallel mass-splitting Jacobi for dense contact scenes.
     contact_mode: str = struct.field(pytree_node=False, default="colored")
+    # Colored-solve execution backend: "auto" = single Pallas VMEM kernel for
+    # the whole iteration loop on TPU / XLA elsewhere; "pallas" = always the
+    # kernel (interpret mode off-TPU, for tests); "xla" = never.
+    solver_backend: str = struct.field(pytree_node=False, default="auto")
     global_force_field: Tuple[float, float, float] = struct.field(
         pytree_node=False, default=(0.0, 0.0, 0.0)
     )
