@@ -21,3 +21,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: takes >8s; excluded from smoke")
+    config.addinivalue_line("markers", "smoke: fast tier, `pytest -m smoke` < 2 min")
+
+
+def pytest_collection_modifyitems(config, items):
+    # Every test not explicitly marked slow belongs to the smoke tier.
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.smoke)

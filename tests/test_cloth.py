@@ -1,6 +1,7 @@
 """Cloth tests: hanging under gravity, constraint satisfaction, wind,
 collision projection, batching."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +84,7 @@ def test_batched_cloth_vmap():
     np.testing.assert_allclose(out.positions[0], out.positions[3], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cloth_drapes_over_moving_rigid_sphere():
     """Coupled step: a rigid sphere rolls under a hanging cloth and the cloth
     stays outside it throughout (BASELINE config 3)."""

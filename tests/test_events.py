@@ -1,5 +1,6 @@
 """Force fields, triggers, collision events, ray poke."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +48,7 @@ def test_trigger_enter_leave():
     assert entered and exited
 
 
+@pytest.mark.slow
 def test_collision_begin_event_with_impact_speed():
     b = SceneBuilder()
     b.add_static_plane((0, 1, 0), 0.0)

@@ -1,5 +1,6 @@
 """GJK/EPA narrowphase and convex-hull collider tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _ref(types, sizes, poss, rots=None, hv=None, hm=None):
     )
 
 
+@pytest.mark.slow
 def test_gjk_sphere_pair_exact():
     a = _ref([SHAPE_SPHERE] * 2, [[1, 0, 0]] * 2, [[0, 0, 0]] * 2)
     b = _ref([SHAPE_SPHERE] * 2, [[1, 0, 0]] * 2, [[1.5, 0, 0], [3.0, 0, 0]])
@@ -40,6 +42,7 @@ def test_gjk_sphere_pair_exact():
     assert abs(float(res["distance"][1]) - msum - 1.0) < 1e-3
 
 
+@pytest.mark.slow
 def test_gjk_deep_box_overlap():
     a = _ref([SHAPE_BOX], [[1, 1, 1]], [[0, 0, 0]])
     b = _ref([SHAPE_BOX], [[1, 1, 1]], [[1.5, 0.2, 0.1]])
@@ -58,6 +61,7 @@ def test_cylinder_box_contact_exact():
     np.testing.assert_allclose(np.asarray(n[0]), [0, 1, 0], atol=0.05)
 
 
+@pytest.mark.slow
 def test_hull_box_drop_rests_like_box():
     """A cube-shaped hull must rest at the same height as a box collider."""
     pts = [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
@@ -77,6 +81,7 @@ def test_hull_box_drop_rests_like_box():
     assert np.abs(final.vel).max() < 0.05
 
 
+@pytest.mark.slow
 def test_hull_vs_hull_stack():
     pts = [[x, y, z] for x in (-0.4, 0.4) for y in (-0.4, 0.4) for z in (-0.4, 0.4)]
     b = SceneBuilder()

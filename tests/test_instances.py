@@ -1,5 +1,6 @@
 """Two-level instancing: device-side retransform + sim-to-render pipeline."""
 
+import pytest
 import math
 
 import jax
@@ -38,6 +39,7 @@ def test_retransform_moves_instances():
     assert hit2[1] and hit2[2] and not hit2[0]
 
 
+@pytest.mark.slow
 def test_sim_to_render_on_device():
     """Physics step -> retransform -> path trace without host transfers."""
     from d3d12renderer_tpu.physics.builder import SceneBuilder

@@ -129,6 +129,7 @@ def test_hinge_velocity_motor_spins():
     assert abs(final.omega[0][1] - 2.0) < 0.1
 
 
+@pytest.mark.slow
 def test_cone_twist_swing_limit():
     b = SceneBuilder()
     limb = b.add_body(position=(0.0, 4.0, 0.0), linear_damping=0.0, angular_damping=0.0)
@@ -154,6 +155,7 @@ def test_cone_twist_swing_limit():
     assert swing < 0.4 + 0.15
 
 
+@pytest.mark.slow
 def test_cone_twist_position_motors_drive_pose():
     b = SceneBuilder()
     limb = b.add_body(position=(0.0, 4.0, 0.0), linear_damping=0.0, angular_damping=0.9)
@@ -221,6 +223,7 @@ def test_slider_position_motor():
     assert abs(final.pos[0][0] - 1.5) < 0.05
 
 
+@pytest.mark.slow
 def test_motor_override_changes_target():
     """Runtime motor targets (the RL action path) override authored params."""
     b = SceneBuilder()
@@ -237,6 +240,7 @@ def test_motor_override_changes_target():
     assert abs(angle - 0.6) < 0.1
 
 
+@pytest.mark.slow
 def test_joint_chain_batch_vmap():
     """A 4-link hinge chain stepped over a batch axis stays connected."""
     b = SceneBuilder()

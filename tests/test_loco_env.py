@@ -4,6 +4,7 @@ Mirrors the reference's env smoke testing via check_env + reward curves
 (reference: learning/learn_locomotion.py:13, SURVEY.md §4.5).
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def test_obs_and_action_sizes():
     assert lo.shape == (27,) and np.all(lo < hi)
 
 
+@pytest.mark.slow
 def test_ragdoll_stands_briefly_with_zero_action():
     """With position motors holding the initial pose, the ragdoll should not
     fall within the first second."""
@@ -44,6 +46,7 @@ def test_ragdoll_stands_briefly_with_zero_action():
     assert float(reward) > 0.5
 
 
+@pytest.mark.slow
 def test_reward_drops_when_perturbed():
     env = make_env()
     obs, st = env.reset(jax.random.PRNGKey(2))
@@ -60,6 +63,7 @@ def test_reward_drops_when_perturbed():
     assert float(r) < float(r0)
 
 
+@pytest.mark.slow
 def test_batched_env_runs_and_auto_resets():
     env = make_env()
     reset, step = make_vec_env(env, batch_size=16)

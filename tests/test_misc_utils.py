@@ -1,5 +1,6 @@
 """Hot reload, undo stack, policy export, generated geometry."""
 
+import pytest
 import os
 
 import jax
@@ -67,6 +68,7 @@ def test_undo_stack_toggle_semantics():
     assert stack.redo_name is None
 
 
+@pytest.mark.slow
 def test_policy_export_matches_forward(tmp_path):
     net = ActorCritic(action_dim=5)
     obs = np.random.default_rng(0).normal(size=(3, 11)).astype(np.float32)

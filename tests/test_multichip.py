@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh (conftest)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_distributed_ppo_one_iteration():
     mesh = make_mesh(8)
     env = LocoEnv()
@@ -26,6 +28,7 @@ def test_distributed_ppo_one_iteration():
         assert np.isfinite(float(v)), f"{k} not finite"
 
 
+@pytest.mark.slow
 def test_distributed_params_stay_replicated():
     """After a training step with psum'd gradients, every shard must hold
     identical parameters."""

@@ -1,5 +1,6 @@
 """Pallas kernel tests (interpret mode on CPU) vs jnp references."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def test_tonemap_srgb_matches_reference():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gaussian_blur_matches_reference():
     img = jax.random.uniform(jax.random.PRNGKey(1), (64, 180, 3))
     out = gaussian_blur_pallas(img, sigma=2.0, interpret=True)
@@ -28,6 +30,7 @@ def test_gaussian_blur_matches_reference():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gaussian_blur_single_channel():
     img = jax.random.uniform(jax.random.PRNGKey(2), (40, 70))
     out = gaussian_blur_pallas(img, sigma=1.5, interpret=True)

@@ -1,5 +1,6 @@
 """Particles, bitonic sort, and animation/skinning tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,12 +14,14 @@ from d3d12renderer_tpu.particles import systems as psys
 from d3d12renderer_tpu.render.sort import bitonic_sort_kv, self_test
 
 
+@pytest.mark.slow
 def test_bitonic_sort_self_test():
     assert self_test(1000, descending=False)
     assert self_test(777, descending=True)   # non-power-of-two
     assert self_test(1, descending=False)
 
 
+@pytest.mark.slow
 def test_bitonic_matches_jnp_sort():
     keys = jax.random.normal(jax.random.PRNGKey(0), (513,))
     vals = jnp.arange(513, dtype=jnp.int32)

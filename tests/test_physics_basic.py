@@ -1,5 +1,6 @@
 """Physics MVP: integration, ground contacts, restitution, friction, stacking."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,6 +92,7 @@ def test_friction_stops_sliding_box():
     assert speed < 0.05, f"box still sliding at {speed} m/s"
 
 
+@pytest.mark.slow
 def test_two_sphere_stack():
     b = builder.SceneBuilder()
     b.add_static_plane((0, 1, 0), 0.0)
@@ -109,6 +111,7 @@ def test_two_sphere_stack():
     assert y1 < 1.7
 
 
+@pytest.mark.slow
 def test_batched_step_vmap():
     b = builder.SceneBuilder()
     b.add_static_plane((0, 1, 0), 0.0)
@@ -131,6 +134,7 @@ def test_batched_step_vmap():
     assert np.all(np.abs(ys - 0.5) < 0.05), ys
 
 
+@pytest.mark.slow
 def test_box_stack_split_jacobi():
     b = builder.SceneBuilder()
     b.add_static_plane((0, 1, 0), 0.0)
@@ -146,6 +150,7 @@ def test_box_stack_split_jacobi():
     assert np.all(np.abs(ys - expected) < 0.1), ys
 
 
+@pytest.mark.slow
 def test_box_stack_colored():
     b = builder.SceneBuilder()
     b.add_static_plane((0, 1, 0), 0.0)

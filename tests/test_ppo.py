@@ -1,5 +1,6 @@
 """PPO learner smoke tests: shapes, finiteness, parameter updates."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from d3d12renderer_tpu.learning.loco_env import LocoEnv
 from d3d12renderer_tpu.learning.ppo import PPOConfig, make_ppo
 
 
+@pytest.mark.slow
 def test_ppo_iteration_runs_and_updates_params():
     env = LocoEnv()
     config = PPOConfig(num_envs=4, rollout_steps=8, minibatches=2, epochs=2,

@@ -1,5 +1,6 @@
 """Light probes, debug visualization, camera controllers."""
 
+import pytest
 import math
 
 import jax
@@ -27,6 +28,7 @@ def test_octahedral_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(d), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_probe_grid_update_and_sample():
     scene = make_scene()
     grid = create_probe_grid(origin=(-3, 0.5, -3), extent=(6, 3, 6),

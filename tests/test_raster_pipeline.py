@@ -55,6 +55,7 @@ def test_gbuffer_contents(gb):
     assert set(np.unique(g.object_id)) <= {-1, 0, 1, 2}
 
 
+@pytest.mark.slow
 def test_sun_shadow_maps(scene, cam):
     maps = fit_cascades(cam.position, -scene.sky.sun_direction)
     maps = jax.jit(lambda: render_sun_shadow_maps(scene.bvh, maps,
@@ -108,6 +109,7 @@ def test_tiled_light_culling_matches_bruteforce(scene, cam, gb):
                     assert li in listed, f"light {li} missed in tile {t_y},{t_x}"
 
 
+@pytest.mark.slow
 def test_post_stack_functions():
     key = jax.random.PRNGKey(0)
     img = jax.random.uniform(key, (32, 32, 3)) * 2
@@ -140,6 +142,7 @@ def test_hbao_darkens_creases(scene, cam, gb):
     assert ao[hit].min() < 0.9
 
 
+@pytest.mark.slow
 def test_full_frame_renders(scene, cam):
     lights = make_point_lights(
         [[2.0, 1.5, 2.0]], [[20.0, 5.0, 5.0]], [6.0])
@@ -156,6 +159,7 @@ def test_full_frame_renders(scene, cam):
     assert img.std() > 0.05  # actual content
 
 
+@pytest.mark.slow
 def test_ibl_sh_and_brdf_lut():
     # Constant white environment -> irradiance ~ pi-normalized constant.
     sh = irradiance_sh9(lambda d: jnp.ones((d.shape[0], 3)))
@@ -190,6 +194,7 @@ def test_water_pass_composites(scene, cam):
     assert np.abs(out2 - out).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_renderer_modes(scene, cam):
     from d3d12renderer_tpu.render.pipeline import render_mode
 
@@ -204,6 +209,7 @@ def test_renderer_modes(scene, cam):
         render_mode(scene, cam, 8, 8, mode="nope")
 
 
+@pytest.mark.slow
 def test_render_resources_defaults():
     from d3d12renderer_tpu.render import resources as rr
 

@@ -1,5 +1,6 @@
 """Renderer tests: BVH correctness vs brute force, path tracer sanity."""
 
+import pytest
 import math
 
 import jax
@@ -72,6 +73,7 @@ def test_bvh_matches_brute_force():
     np.testing.assert_allclose(t_dev, t_ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_render_produces_plausible_image():
     scene = make_scene()
     cam = look_at(eye=(5, 3, 6), target=(0.5, 0.8, 0), aspect=1.0,

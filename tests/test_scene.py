@@ -1,5 +1,6 @@
 """Scene/ECS layer tests: entity API, views, YAML round-trip, compilation."""
 
+import pytest
 import math
 
 import jax
@@ -74,6 +75,7 @@ def test_scene_clone_is_independent():
     assert len(list(s.view())) == 3
 
 
+@pytest.mark.slow
 def test_render_from_scene():
     s = build_demo_scene()
     rscene = s.build_render_scene()

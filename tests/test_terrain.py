@@ -1,5 +1,6 @@
 """Terrain tests: heightmap generation, sampling, heightfield physics."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,7 @@ def test_sphere_rests_on_flat_terrain():
     assert abs(final.pos[0][1] - 2.5) < 0.02
 
 
+@pytest.mark.slow
 def test_ball_rolls_downhill():
     # Inclined plane as heightfield: h = 0.3 * x.
     xs = np.arange(64, dtype=np.float32)
@@ -69,6 +71,7 @@ def test_ball_rolls_downhill():
     assert np.isfinite(final.pos).all()
 
 
+@pytest.mark.slow
 def test_box_rests_on_bumpy_terrain():
     h = np.asarray(generate_heightmap(resolution=64, world_size=32.0,
                                       amplitude=1.5, seed=7))

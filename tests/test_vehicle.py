@@ -26,6 +26,7 @@ def vehicle_scene():
     return b, info, arch, state
 
 
+@pytest.mark.slow
 def test_vehicle_settles_intact(vehicle_scene):
     b, info, arch, state = vehicle_scene
     step = jax.jit(lambda s: physics_step(arch, s, SETTINGS, DT)[0])
@@ -45,6 +46,7 @@ def test_vehicle_settles_intact(vehicle_scene):
         assert np.linalg.norm(final.pos[info.bodies[w]] - motor_pos) < 3.5
 
 
+@pytest.mark.slow
 def test_motor_spins_gear_train(vehicle_scene):
     b, info, arch, state = vehicle_scene
     overrides = drive_overrides(arch, info, throttle_velocity=8.0,
