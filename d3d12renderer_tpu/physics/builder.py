@@ -663,7 +663,19 @@ class SceneBuilder:
                             return True
         return False
 
-    def finalize(self, dtype=np.float32):
+    def finalize(self, dtype=np.float32, broadphase: str = "static",
+                 sap_neighbors: int = 16, sap_max_contacts: int = 0):
+        """Compile the scene into a SceneArchetype + initial BodyState.
+
+        broadphase="static": enumerate all collider pairs at compile time into
+        typed buckets (tether-pruned, colored) — exact, best for small scenes.
+        broadphase="sap": skip pair enumeration; candidate pairs come from the
+        runtime dense-AABB broadphase each substep (physics/broadphase.py),
+        keeping at most `sap_neighbors` partners per collider.  Scales to
+        thousands of bodies (the reference's SAP role,
+        src/physics/collision_broad.cpp:297); requires
+        PhysicsSettings(contact_mode="split_jacobi").
+        """
         n = len(self.bodies)
         c = len(self.colliders)
         inv_mass, inv_inertia, local_cog = self._mass_properties()
@@ -740,20 +752,41 @@ class SceneBuilder:
         tethers = self._compute_tethers(bound_radius)
 
         pair_rows_by_type: Dict[Tuple[int, int], List[Tuple[int, int, int, int]]] = {}
-        for i in range(c):
-            for j in range(i + 1, c):
-                ci, cj = self.colliders[i], self.colliders[j]
-                if not self._collides(ci.body, cj.body):
-                    continue
-                if self._tether_pruned(i, j, tethers, bound_radius):
-                    continue
-                a, b = i, j
-                ta, tb = ci.shape, cj.shape
-                if ta > tb:  # canonical order, e.g. sphere before box
-                    a, b, ta, tb = b, a, tb, ta
-                pair_rows_by_type.setdefault((ta, tb), []).append(
-                    (a, b, self.colliders[a].body, self.colliders[b].body)
-                )
+        sap_collidable = np.zeros((0, 0), bool)
+        sap_type_pairs: Tuple[Tuple[int, int], ...] = ()
+        if broadphase == "sap":
+            # Pair admissibility matrix for the runtime broadphase; body-level
+            # results are cached since colliders >> bodies in big scenes.
+            body_ok: Dict[Tuple[int, int], bool] = {}
+            sap_collidable = np.zeros((c, c), bool)
+            for i in range(c):
+                bi = self.colliders[i].body
+                for j in range(i + 1, c):
+                    bj = self.colliders[j].body
+                    key = (bi, bj)
+                    ok = body_ok.get(key)
+                    if ok is None:
+                        ok = body_ok[key] = self._collides(bi, bj)
+                    sap_collidable[i, j] = ok
+            types = sorted({cl.shape for cl in self.colliders})
+            sap_type_pairs = tuple(
+                (ta, tb) for ai, ta in enumerate(types) for tb in types[ai:]
+            )
+        else:
+            for i in range(c):
+                for j in range(i + 1, c):
+                    ci, cj = self.colliders[i], self.colliders[j]
+                    if not self._collides(ci.body, cj.body):
+                        continue
+                    if self._tether_pruned(i, j, tethers, bound_radius):
+                        continue
+                    a, b = i, j
+                    ta, tb = ci.shape, cj.shape
+                    if ta > tb:  # canonical order, e.g. sphere before box
+                        a, b, ta, tb = b, a, tb, ta
+                    pair_rows_by_type.setdefault((ta, tb), []).append(
+                        (a, b, self.colliders[a].body, self.colliders[b].body)
+                    )
 
         # --- global greedy coloring over all candidate rows ------------
         # Row order: plane rows, terrain rows, then buckets sorted by type
@@ -878,6 +911,11 @@ class SceneBuilder:
             vs_plane_num_colors=num_colors,
             vs_plane_segments=vs_plane_segments,
             vs_terrain_segments=vs_terrain_segments,
+            sap_neighbors=sap_neighbors if broadphase == "sap" else 0,
+            sap_max_contacts=(sap_max_contacts or 8 * max(c, 1))
+            if broadphase == "sap" else 0,
+            sap_type_pairs=sap_type_pairs,
+            sap_collidable=jnp.asarray(sap_collidable),
         )
 
         state = BodyState(

@@ -198,12 +198,15 @@ def _pad4m(mk):
     return jnp.concatenate([mk, jnp.zeros(mk.shape[:-1] + (4 - k,), bool)], axis=-1)
 
 
-def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
-    ia, ib = bucket.collider_a, bucket.collider_b
+def pair_narrow_dispatch(arch: SceneArchetype, ia, ib, ta, tb, pa, ra, pb, rb):
+    """Narrowphase for collider-pair rows of one static (type_a, type_b) combo.
+
+    `ia`/`ib` may be static bucket tables or runtime broadphase candidates
+    (physics/broadphase.py); `ta`/`tb` are static ints with ta <= tb.
+    Returns padded 4-point manifolds (normal, pts4, dep4, msk4).
+    Reference pair matrix: src/physics/collision_narrow.cpp:374-1558.
+    """
     sa, sb = arch.col_size[ia], arch.col_size[ib]
-    pa, ra = wpos[..., ia, :], wrot[..., ia, :]
-    pb, rb = wpos[..., ib, :], wrot[..., ib, :]
-    ta, tb = bucket.type_a, bucket.type_b
 
     if ta == SHAPE_SPHERE and tb == SHAPE_SPHERE:
         normal, pts, dep, msk = narrow.sphere_vs_sphere(pa, sa[..., 0], pb, sb[..., 0])
@@ -239,9 +242,16 @@ def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
             f"narrowphase pair ({ta},{tb}) not implemented yet"
         )
 
-    pts4 = _pad4(pts)
-    dep4 = _pad4d(dep)
-    msk4 = _pad4m(msk) & bucket.valid[..., :, None]
+    return normal, _pad4(pts), _pad4d(dep), _pad4m(msk)
+
+
+def _bucket_manifolds(arch: SceneArchetype, bucket: ContactBucket, wpos, wrot):
+    ia, ib = bucket.collider_a, bucket.collider_b
+    pa, ra = wpos[..., ia, :], wrot[..., ia, :]
+    pb, rb = wpos[..., ib, :], wrot[..., ib, :]
+    normal, pts4, dep4, msk4 = pair_narrow_dispatch(
+        arch, ia, ib, bucket.type_a, bucket.type_b, pa, ra, pb, rb)
+    msk4 = msk4 & bucket.valid[..., :, None]
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ia], arch.col_friction[ib],
@@ -289,6 +299,9 @@ def generate_contacts(arch: SceneArchetype, state: BodyState) -> ContactTable:
         tables.append(_vs_terrain_manifolds(arch, wpos, wrot))
     for bucket in arch.contact_buckets:
         tables.append(_bucket_manifolds(arch, bucket, wpos, wrot))
+    if arch.sap_neighbors > 0:
+        from . import broadphase
+        tables.append(broadphase.sap_manifolds(arch, wpos, wrot))
     if not tables:
         z = jnp.zeros((0,), jnp.int32)
         zf = jnp.zeros((0,), jnp.float32)

@@ -92,6 +92,12 @@ def physics_substep(
 
     num_pairs = contacts.body_a.shape[0]
     mode = settings.contact_mode
+    if arch.sap_neighbors > 0 and mode != "split_jacobi":
+        raise ValueError(
+            "runtime broadphase (finalize(broadphase='sap')) produces dynamic "
+            "pair sets that cannot be statically colored; use "
+            "PhysicsSettings(contact_mode='split_jacobi')"
+        )
     if num_pairs > 0:
         if mode == "split_jacobi":
             # Split each body into `deg` pieces: effective masses see the

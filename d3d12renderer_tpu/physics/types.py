@@ -185,6 +185,20 @@ class SceneArchetype:
     vs_terrain_segments: Tuple[Tuple[int, int, int], ...] = struct.field(
         pytree_node=False, default=())
 
+    # Runtime broadphase (physics/broadphase.py; reference SAP:
+    # src/physics/collision_broad.cpp:297).  0 = compile-time buckets only.
+    # When > 0, collider-collider pairs come from a dense AABB-overlap +
+    # top-K compaction each substep; requires contact_mode="split_jacobi".
+    sap_neighbors: int = struct.field(pytree_node=False, default=0)
+    # Fixed active-contact budget the candidate list is compacted to.
+    sap_max_contacts: int = struct.field(pytree_node=False, default=0)
+    # Static (type_a, type_b) combos present among colliders (canonical order).
+    sap_type_pairs: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=())
+    # (C, C) upper-triangular pair admissibility (collision groups, static
+    # pairs, kinematic-kinematic exclusion) — empty when sap_neighbors == 0.
+    sap_collidable: jnp.ndarray = None
+
     @property
     def world_body(self) -> int:
         return self.num_bodies
