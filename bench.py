@@ -80,6 +80,8 @@ def main():
     total_steps = num_chunks * steps_per_chunk * args.batch
     steps_per_sec = total_steps / elapsed
 
+    ray = {} if args.smoke else bench_rays()
+
     print(json.dumps({
         "metric": "loco_env_steps_per_sec",
         "value": round(steps_per_sec, 1),
@@ -88,7 +90,68 @@ def main():
         "batch": args.batch,
         "platform": platform,
         "mean_reward": float(r),
+        **ray,
     }))
+
+
+def bench_rays():
+    """Second metric (VERDICT r1 item 4): ray throughput at 1080p on a
+    >=50k-triangle scene, via the two-level culled Pallas kernel with
+    tile-ordered rays.  Baseline target: >=50 Mrays/s path trace @1080p on
+    v5e-8 => >=6.25 Mrays/s per chip; `ray_vs_baseline` is per-chip
+    measured / 6.25."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d3d12renderer_tpu.ops.ray_trace_pallas import closest_hit_pallas
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render.mesh import quad, uv_sphere
+    from d3d12renderer_tpu.render.pathtracer import _tile_perm
+
+    try:
+        meshes = []
+        for ix in range(8):
+            for iz in range(8):
+                s = uv_sphere(0.45, 16, 26).transformed(
+                    translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
+                meshes.append((s, (ix + iz) % 4))
+        meshes.append((quad(8.0), 0))
+        b = bvh_mod.build_bvh(meshes)
+        tris = int(np.asarray(b.tri_valid).sum())
+
+        w, h = 1920, 1088  # 32-divisible 1080p-class framebuffer
+        xs = (np.arange(w) + 0.5) / w * 2 - 1
+        ys = (np.arange(h) + 0.5) / h * 2 - 1
+        d = np.stack(np.broadcast_arrays(
+            xs[None, :] * 0.9, -ys[:, None] * 0.55, np.full((h, w), 1.0),
+        ), -1).reshape(-1, 3)
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        perm, _ = _tile_perm(w, h)
+        d = d[perm]
+        o = np.broadcast_to(
+            np.array([0, 1.5, -9.0], np.float32), d.shape).copy()
+        o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+        f = jax.jit(lambda o, d: closest_hit_pallas(b.dense, o, d))
+        res = f(o_j, d_j)
+        jax.block_until_ready(res)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = f(o_j, d_j)
+            jax.block_until_ready(res)
+            best = min(best, time.perf_counter() - t0)
+        mrays = w * h / best / 1e6
+        return {
+            "ray_mrays_per_sec": round(mrays, 2),
+            "ray_scene_tris": tris,
+            "ray_vs_baseline": round(mrays / 6.25, 4),
+        }
+    except Exception as e:  # never let the ray leg kill the headline metric
+        return {"ray_error": str(e)[:300]}
 
 
 if __name__ == "__main__":

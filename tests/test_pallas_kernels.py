@@ -64,3 +64,39 @@ def test_ray_trace_pallas_matches_dense():
                                np.asarray(r_ref["t"])[m], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(r_pal["tri"])[m],
                                   np.asarray(r_ref["tri"])[m])
+
+
+def test_ray_trace_culled_matches_dense():
+    """Two-level (cluster-AABB culled) kernel parity on a multi-chunk scene."""
+    from d3d12renderer_tpu.ops.ray_trace_pallas import (
+        TRI_CHUNK, closest_hit_pallas_culled,
+    )
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    rng = np.random.default_rng(0)
+    meshes = []
+    for i in range(6):
+        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
+            translate=tuple(rng.uniform(-3, 3, 3)))
+        meshes.append((s, i))
+    b = bvh_mod.build_bvh(meshes)
+    assert b.dense.n.shape[0] > TRI_CHUNK, "need a multi-chunk scene"
+    assert b.dense.cluster_lo.shape[0] == -(-b.dense.n.shape[0] // TRI_CHUNK)
+
+    R = 3000
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = bvh_mod.closest_hit_dense(b.dense, jnp.asarray(o), jnp.asarray(d))
+    got = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]),
+                                  np.asarray(ref["hit"]))
+    m = np.asarray(ref["hit"])
+    assert m.sum() > 50, "degenerate test: almost no hits"
+    np.testing.assert_allclose(np.asarray(got["t"])[m],
+                               np.asarray(ref["t"])[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["tri"])[m],
+                                  np.asarray(ref["tri"])[m])
