@@ -143,8 +143,12 @@ def shade_point_lights(gb, lights: PointLights, tile_lists, camera):
     return total
 
 
-def shade_spot_lights(gb, lights: SpotLights, camera):
-    """Spot lights (uncull'd — counts are small in the reference scenes)."""
+def shade_spot_lights(gb, lights: SpotLights, camera, shadow_maps=None):
+    """Spot lights (uncull'd — counts are small in the reference scenes).
+
+    shadow_maps: optional sequence (len = num lights) of SpotShadowMap or
+    None — per-light shadow sampling like the reference's
+    spot_shadow_info path (shaders/common/light_source.hlsli)."""
     h, w = gb.depth.shape
     v = m.noz(camera.position - gb.world_pos)
     total = jnp.zeros((h, w, 3))
@@ -163,8 +167,37 @@ def shade_spot_lights(gb, lights: SpotLights, camera):
             / (dist * dist + 1e-2)
         f = eval_brdf_pixel(gb.normal, v, ldir, gb.albedo, gb.roughness,
                             gb.metallic)
-        total = total + jnp.where(
-            gb.hit[..., None],
-            f * lights.color[i] * (att * spot)[..., None], 0.0,
-        ) * lights.valid[i]
+        contrib = f * lights.color[i] * (att * spot)[..., None]
+        if shadow_maps is not None and shadow_maps[i] is not None:
+            from .shadows import sample_spot_shadow
+            contrib = contrib * sample_spot_shadow(
+                shadow_maps[i], gb.world_pos)[..., None]
+        total = total + jnp.where(gb.hit[..., None], contrib, 0.0) \
+            * lights.valid[i]
+    return total
+
+
+def shade_point_lights_shadowed(gb, lights: PointLights, camera, shadow_maps):
+    """Per-light point shading with dual-hemisphere shadow sampling.
+
+    The tiled-culling path (shade_point_lights) stays shadow-free — like the
+    reference, shadow-casting point lights are few and shade per light."""
+    h, w = gb.depth.shape
+    v = m.noz(camera.position - gb.world_pos)
+    total = jnp.zeros((h, w, 3))
+    for i in range(lights.position.shape[0]):
+        to_l = lights.position[i] - gb.world_pos
+        dist = jnp.linalg.norm(to_l + 1e-9, axis=-1)
+        ldir = to_l / dist[..., None]
+        att = jnp.clip(1.0 - (dist / lights.radius[i]) ** 4, 0.0, 1.0) ** 2 \
+            / (dist * dist + 1e-2)
+        f = eval_brdf_pixel(gb.normal, v, ldir, gb.albedo, gb.roughness,
+                            gb.metallic)
+        contrib = f * lights.color[i] * att[..., None]
+        if shadow_maps is not None and shadow_maps[i] is not None:
+            from .shadows import sample_point_shadow
+            contrib = contrib * sample_point_shadow(
+                shadow_maps[i], gb.world_pos)[..., None]
+        total = total + jnp.where(gb.hit[..., None], contrib, 0.0) \
+            * lights.valid[i]
     return total

@@ -78,6 +78,8 @@ def render_frame(
     point_lights: Optional[PointLights] = None,
     spot_lights: Optional[SpotLights] = None,
     shadow_maps: Optional[SunShadowMaps] = None,
+    spot_shadow_maps=None,
+    point_shadow_maps=None,
     frame_state: Optional[FrameState] = None,
     prev_camera: Optional[Camera] = None,
     key=None,
@@ -124,11 +126,20 @@ def render_frame(
     color = color + gb.emissive
 
     if point_lights is not None:
-        tile_lists, _ = cull_lights_tiled(gb.view_pos, point_lights, camera,
-                                          width, height)
-        color = color + shade_point_lights(gb, point_lights, tile_lists, camera)
+        if point_shadow_maps is not None:
+            # Shadow-casting point lights shade per light with dual-
+            # hemisphere sampling (reference: point_shadow_info path).
+            from .lights import shade_point_lights_shadowed
+            color = color + shade_point_lights_shadowed(
+                gb, point_lights, camera, point_shadow_maps)
+        else:
+            tile_lists, _ = cull_lights_tiled(gb.view_pos, point_lights,
+                                              camera, width, height)
+            color = color + shade_point_lights(gb, point_lights, tile_lists,
+                                               camera)
     if spot_lights is not None:
-        color = color + shade_spot_lights(gb, spot_lights, camera)
+        color = color + shade_spot_lights(gb, spot_lights, camera,
+                                          shadow_maps=spot_shadow_maps)
 
     # --- SSR ----------------------------------------------------------------
     if settings.enable_ssr:
