@@ -31,6 +31,47 @@ from .lights import (
 from .pathtracer import Scene, sky_radiance
 from .shadows import SunShadowMaps, fit_cascades, render_sun_shadow_maps, \
     sample_sun_shadow
+from . import bvh as bvh_mod
+
+
+def rt_reflections(scene: Scene, gb: GBuffer, camera: Camera,
+                   max_roughness: float = 0.6):
+    """One-bounce ray-traced specular reflections (reference:
+    src/rendering/raytraced_reflections.cpp + rt_reflections_rts.hlsl).
+
+    Traces mirror rays from every opaque hit, shades the hit with sun NEE
+    (shadow ray) + sky-hemisphere ambient, and returns (radiance, mask).
+    Feeds the same resolve as SSR: pipeline blends by SSR confidence, RT
+    filling where the screen-space march found nothing."""
+    h, w = gb.depth.shape
+    v = m.noz(camera.position - gb.world_pos)
+    n = gb.normal
+    d = m.noz(2.0 * jnp.sum(n * v, -1, keepdims=True) * n - v)
+    o = gb.world_pos + n * 1e-3
+
+    active = gb.hit & (gb.roughness < max_roughness)
+    o_f = o.reshape(-1, 3)
+    d_f = d.reshape(-1, 3)
+    res = bvh_mod.closest_hit(scene.bvh, o_f, d_f)
+    hn, _, huv, hmat = bvh_mod.hit_attributes(scene.bvh, res)
+    hp = o_f + d_f * res["t"][:, None]
+
+    from .pathtracer import sample_albedo
+    albedo = sample_albedo(scene.materials, hmat, huv)
+    to_sun = m.noz(scene.sky.sun_direction)  # sun_direction points at the sun
+    ndl = jnp.maximum(jnp.sum(hn * to_sun, -1), 0.0)
+    shadowed = bvh_mod.any_hit(scene.bvh, hp + hn * 1e-3,
+                               jnp.broadcast_to(to_sun, hp.shape), 1e4)
+    sun = (scene.sky.sun_radiance * 0.05) * ndl[:, None] \
+        * (~shadowed)[:, None] / jnp.pi
+    up = jnp.clip(hn[:, 1:2] * 0.5 + 0.5, 0.0, 1.0)
+    ambient = scene.sky.horizon * (1 - up) + scene.sky.zenith * up
+    lit = albedo * (sun + ambient * 0.35) + scene.materials.emissive[hmat]
+
+    sky = sky_radiance(scene.sky, d_f)
+    radiance = jnp.where(res["hit"][:, None], lit, sky)
+    radiance = radiance.reshape(h, w, 3)
+    return jnp.where(active[..., None], radiance, 0.0), active
 
 
 @struct.dataclass
@@ -45,6 +86,7 @@ class RendererSettings:
     enable_bloom: bool = struct.field(pytree_node=False, default=True)
     enable_sharpen: bool = struct.field(pytree_node=False, default=True)
     enable_shadows: bool = struct.field(pytree_node=False, default=True)
+    enable_rt_reflections: bool = struct.field(pytree_node=False, default=False)
     hbao: post.HBAOSettings = post.HBAOSettings()
     sss: post.SSSSettings = post.SSSSettings()
     ssr: post.SSRSettings = post.SSRSettings()
@@ -82,6 +124,7 @@ def render_frame(
     point_shadow_maps=None,
     frame_state: Optional[FrameState] = None,
     prev_camera: Optional[Camera] = None,
+    probe_grid=None,
     key=None,
 ):
     """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
@@ -119,9 +162,16 @@ def render_frame(
     sun_radiance = scene.sky.sun_radiance * 0.05  # disc radiance -> irradiance
     color = f_sun * sun_radiance * lit[..., None]
 
-    # Ambient: sky-tinted hemisphere with AO (IBL path available via ibl.py).
-    up = jnp.clip(gb.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
-    ambient = (scene.sky.horizon * (1 - up) + scene.sky.zenith * up)
+    # Ambient: DDGI probe-grid irradiance when a grid is supplied
+    # (reference: opaque-pass ambient sampling of the probe atlases,
+    # main_renderer.cpp:917-925 + light_probe.hlsli); sky-tinted hemisphere
+    # fallback otherwise (IBL path available via ibl.py).
+    if probe_grid is not None:
+        from .light_probe import sample_irradiance
+        ambient = sample_irradiance(probe_grid, gb.world_pos, gb.normal)
+    else:
+        up = jnp.clip(gb.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+        ambient = (scene.sky.horizon * (1 - up) + scene.sky.zenith * up)
     color = color + gb.albedo * ambient * settings.ambient_strength * ao[..., None]
     color = color + gb.emissive
 
@@ -141,12 +191,27 @@ def render_frame(
         color = color + shade_spot_lights(gb, spot_lights, camera,
                                           shadow_maps=spot_shadow_maps)
 
-    # --- SSR ----------------------------------------------------------------
-    if settings.enable_ssr:
-        refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
-                              gb.roughness, settings.ssr)
+    # --- reflections: SSR resolve, RT rays filling SSR misses ---------------
+    # (reference: SSR | RT-reflections selection in main_renderer.cpp:439-470;
+    #  here both can run — RT radiance replaces the reflection where the
+    #  screen-space march had no confidence.)
+    rt_refl = None
+    if settings.enable_rt_reflections:
+        rt_refl, rt_mask = rt_reflections(scene, gb, camera)
+    if settings.enable_ssr or rt_refl is not None:
         f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
-        color = color + refl * conf[..., None] * f0
+        if settings.enable_ssr:
+            refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
+                                  gb.roughness, settings.ssr)
+        else:
+            refl = jnp.zeros_like(color)
+            conf = jnp.zeros(color.shape[:-1])
+        if rt_refl is not None:
+            refl = refl * conf[..., None] + rt_refl * (1.0 - conf[..., None]) \
+                * rt_mask[..., None]
+            color = color + refl * f0
+        else:
+            color = color + refl * conf[..., None] * f0
 
     # --- sky for misses ------------------------------------------------------
     d = m.noz(gb.world_pos - camera.position)
@@ -170,7 +235,9 @@ def render_frame(
     if settings.enable_sharpen:
         ldr = post.sharpen(ldr, settings.sharpen)
 
-    aux = {"ao": ao, "shadow": lit, "gbuffer": gb}
+    aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient}
+    if rt_refl is not None:
+        aux["rt_reflections"] = rt_refl
     return ldr, new_state, aux
 
 
