@@ -29,12 +29,64 @@ class LoadedMaterial:
 
 
 @dataclass
+class SkinData:
+    """Per-vertex skinning: up to 4 influences (reference:
+    asset/model_asset.h skin weights, 4-influence LBS)."""
+
+    joint_indices: np.ndarray   # (V, 4) int32 into the skeleton's joints
+    joint_weights: np.ndarray   # (V, 4) float32, rows sum to 1
+
+
+@dataclass
+class LoadedSkeleton:
+    """Host-side skeleton description (bind LOCAL transforms)."""
+
+    names: List[str] = field(default_factory=list)
+    parents: List[int] = field(default_factory=list)
+    bind_local_pos: Optional[np.ndarray] = None   # (J, 3)
+    bind_local_rot: Optional[np.ndarray] = None   # (J, 4)
+
+    def to_skeleton(self):
+        from ..animation.animation import make_skeleton
+        return make_skeleton(self.parents, self.bind_local_pos,
+                             self.bind_local_rot)
+
+
+@dataclass
+class LoadedClip:
+    """Uniform-grid resampled animation tracks (one entry per joint)."""
+
+    name: str = ""
+    positions: Optional[np.ndarray] = None   # (J, K, 3)
+    rotations: Optional[np.ndarray] = None   # (J, K, 4)
+    scales: Optional[np.ndarray] = None      # (J, K)
+    duration: float = 0.0
+    looping: bool = True
+
+    def to_clip(self):
+        import jax.numpy as jnp
+
+        from ..animation.animation import AnimationClip
+        return AnimationClip(
+            positions=jnp.asarray(self.positions, jnp.float32),
+            rotations=jnp.asarray(self.rotations, jnp.float32),
+            scales=jnp.asarray(self.scales, jnp.float32),
+            duration=float(self.duration), looping=self.looping,
+        )
+
+
+@dataclass
 class ModelAsset:
-    """Unified in-memory model (reference: asset/model_asset.h:51-58)."""
+    """Unified in-memory model (reference: asset/model_asset.h:51-58 —
+    meshes, materials, skeletons, animations)."""
 
     meshes: List[MeshData] = field(default_factory=list)
     materials: List[LoadedMaterial] = field(default_factory=list)
     mesh_material: List[int] = field(default_factory=list)
+    skeletons: List[LoadedSkeleton] = field(default_factory=list)
+    animations: List[LoadedClip] = field(default_factory=list)
+    # Per-mesh skin (None = rigid), indexing the first skeleton.
+    mesh_skin: List[Optional[SkinData]] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------
