@@ -664,7 +664,8 @@ class SceneBuilder:
         return False
 
     def finalize(self, dtype=np.float32, broadphase: str = "static",
-                 sap_neighbors: int = 16, sap_max_contacts: int = 0):
+                 sap_neighbors: int = 16, sap_max_contacts: int = 0,
+                 terrain_collision: str = "bilinear"):
         """Compile the scene into a SceneArchetype + initial BodyState.
 
         broadphase="static": enumerate all collider pairs at compile time into
@@ -911,6 +912,7 @@ class SceneBuilder:
             vs_plane_num_colors=num_colors,
             vs_plane_segments=vs_plane_segments,
             vs_terrain_segments=vs_terrain_segments,
+            terrain_tri_exact=(terrain_collision == "triangles"),
             sap_neighbors=sap_neighbors if broadphase == "sap" else 0,
             sap_max_contacts=(sap_max_contacts or 8 * max(c, 1))
             if broadphase == "sap" else 0,

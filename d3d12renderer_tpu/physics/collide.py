@@ -12,6 +12,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import maths as m
 from . import gjk as gjk_mod
@@ -131,11 +132,21 @@ def _vs_plane_manifolds(arch: SceneArchetype, wpos, wrot):
     )
 
 
+_BOX_SIGNS = np.array([
+    [sx, sy, sz]
+    for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)
+], np.float32)
+
+
 def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
-    """Collider vs heightfield: sample the terrain under the collider and
-    collide against the local tangent plane (reference:
-    physics/heightmap_collision.cpp:509 — mip descent replaced by a bilinear
-    tangent-plane lookup, exact for smooth terrain)."""
+    """Collider vs heightfield.
+
+    Default path: sample the terrain under the collider and collide against
+    the local bilinear tangent plane (exact for smooth terrain).  With
+    `arch.terrain_tri_exact`, box and hull rows instead run the min-max mip
+    descent + vertex-vs-triangle narrowphase (physics/heightmap_collision.py
+    — reference: physics/heightmap_collision.cpp:509), which handles cliffs
+    and sharp features."""
     from ..terrain.heightmap import sample_height_bilinear
 
     ci = arch.vs_terrain_collider
@@ -157,6 +168,40 @@ def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
 
     pts, dep, msk = _collider_vs_local_plane(arch, ci, cpos, crot, n, off,
                                              arch.vs_terrain_segments)
+
+    if arch.terrain_tri_exact:
+        from .heightmap_collision import (
+            build_minmax_mips, vertex_vs_terrain_triangles,
+        )
+        levels = jax.vmap(build_minmax_mips)(arch.terrain_height)
+
+        def tri_rows(ci_s, ti_s, verts, vmask):
+            def one(ti_r, v, vm):
+                lev = [(l[ti_r], g[ti_r]) for (l, g) in levels]
+                return vertex_vs_terrain_triangles(
+                    arch.terrain_height[ti_r], lev,
+                    arch.terrain_origin[ti_r], arch.terrain_cell[ti_r],
+                    v, vm)
+            return jax.vmap(one)(ti_s, verts, vmask)
+
+        for (stype, s, e) in arch.vs_terrain_segments:
+            if stype == SHAPE_BOX:
+                size = arch.col_size[ci[s:e]]
+                signs = jnp.asarray(_BOX_SIGNS)
+                verts = cpos[s:e, None, :] + m.quat_rotate(
+                    crot[s:e, None, :], signs[None] * size[:, None, :])
+                vmask = jnp.ones(verts.shape[:-1], bool)
+            elif stype == SHAPE_HULL:
+                verts = cpos[s:e, None, :] + m.quat_rotate(
+                    crot[s:e, None, :], arch.col_hull_verts[ci[s:e]])
+                vmask = arch.col_hull_mask[ci[s:e]]
+            else:
+                continue
+            tp, td, tm, tn = tri_rows(ci[s:e], ti[s:e], verts, vmask)
+            pts = pts.at[s:e].set(tp)
+            dep = dep.at[s:e].set(td)
+            msk = msk.at[s:e].set(tm)
+            n = n.at[s:e].set(tn)
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.terrain_friction[ti],

@@ -154,7 +154,6 @@ class SceneArchetype:
     vs_terrain_terrain: jnp.ndarray  # (Q2,) int32
     vs_terrain_body: jnp.ndarray     # (Q2,) int32
     vs_terrain_valid: jnp.ndarray    # (Q2,) bool
-
     # Non-collision interactions (reference: physics.cpp:952 force fields +
     # triggers; trigger/collision begin/end events physics.cpp:1037).
     ff_center: jnp.ndarray         # (F, 3) force-field sphere centers
@@ -198,6 +197,11 @@ class SceneArchetype:
     # (C, C) upper-triangular pair admissibility (collision groups, static
     # pairs, kinematic-kinematic exclusion) — empty when sap_neighbors == 0.
     sap_collidable: jnp.ndarray = None
+
+    # True: box/hull rows collide against exact heightfield triangles found
+    # by min-max mip descent (physics/heightmap_collision.py — reference
+    # src/physics/heightmap_collision.cpp:509); False: bilinear tangent plane.
+    terrain_tri_exact: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def world_body(self) -> int:

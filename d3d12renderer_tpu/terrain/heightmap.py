@@ -116,6 +116,135 @@ def heightmap_mesh(heights: np.ndarray, origin, cell_size: float):
                     uv.astype(np.float32), np.array(idx, np.int32))
 
 
+def terrain_lod_chunks(heights: np.ndarray, origin, cell_size: float,
+                       chunk_cells: int = 16, camera_pos=(0.0, 0.0, 0.0),
+                       lod_distances=(24.0, 48.0, 96.0)):
+    """Chunked terrain meshes with distance LOD and hole-free seam collapse.
+
+    Reference: shaders/terrain/terrain_vs.hlsl — per-chunk LOD by camera
+    distance; edge vertices of a finer chunk that face a coarser neighbor
+    snap onto the coarser edge's piecewise-linear height, so shared edges
+    are geometrically identical (watertight, no cracks).
+
+    Returns a list of (MeshData, lod_level, (ci, cj)) per chunk."""
+    from ..render.mesh import MeshData
+
+    h = np.asarray(heights, np.float64)
+    r0, r1 = h.shape
+    n_ci = (r0 - 1) // chunk_cells
+    n_cj = (r1 - 1) // chunk_cells
+    cam = np.asarray(camera_pos, np.float64)
+    max_lod = int(np.log2(chunk_cells))
+
+    def chunk_lod(ci, cj):
+        cx = origin[0] + (ci + 0.5) * chunk_cells * cell_size
+        cz = origin[2] + (cj + 0.5) * chunk_cells * cell_size
+        d = np.hypot(cx - cam[0], cz - cam[2])
+        lod = 0
+        for t in lod_distances:
+            if d > t:
+                lod += 1
+        return min(lod, max_lod)
+
+    lods = {(ci, cj): chunk_lod(ci, cj)
+            for ci in range(n_ci) for cj in range(n_cj)}
+
+    def edge_height(i, j, stride):
+        """Height at grid (i, j) as seen by an edge of the given stride:
+        piecewise-linear between the stride's samples."""
+        i0 = (i // stride) * stride
+        j0 = (j // stride) * stride
+        fi = (i - i0) / stride
+        fj = (j - j0) / stride
+        if fi > 0:   # vertical edge (varying i)
+            return h[i0, j] * (1 - fi) + h[min(i0 + stride, r0 - 1), j] * fi
+        if fj > 0:
+            return h[i, j0] * (1 - fj) + h[i, min(j0 + stride, r1 - 1)] * fj
+        return h[i, j]
+
+    chunks = []
+    for (ci, cj), lod in lods.items():
+        stride = 1 << lod
+        i0, j0 = ci * chunk_cells, cj * chunk_cells
+        gi = np.arange(i0, i0 + chunk_cells + 1, stride)
+        gj = np.arange(j0, j0 + chunk_cells + 1, stride)
+        hh = h[np.ix_(gi, gj)].copy()
+
+        # Seam collapse: snap edge heights to the coarser neighbor's grid.
+        def neighbor_stride(nci, ncj):
+            l = lods.get((nci, ncj))
+            return (1 << l) if l is not None else None
+
+        for edge, (nci, ncj) in (("i0", (ci - 1, cj)), ("i1", (ci + 1, cj)),
+                                 ("j0", (ci, cj - 1)), ("j1", (ci, cj + 1))):
+            ns = neighbor_stride(nci, ncj)
+            if ns is None or ns <= stride:
+                continue
+            if edge == "i0":
+                for k, j in enumerate(gj):
+                    hh[0, k] = edge_height(i0, j, ns)
+            elif edge == "i1":
+                for k, j in enumerate(gj):
+                    hh[-1, k] = edge_height(i0 + chunk_cells, j, ns)
+            elif edge == "j0":
+                for k, i in enumerate(gi):
+                    hh[k, 0] = edge_height(i, j0, ns)
+            else:
+                for k, i in enumerate(gi):
+                    hh[k, -1] = edge_height(i, j0 + chunk_cells, ns)
+
+        xs = origin[0] + gi * cell_size
+        zs = origin[2] + gj * cell_size
+        gx, gz = np.meshgrid(xs, zs, indexing="ij")
+        pos = np.stack([gx, origin[1] + hh, gz], -1).reshape(-1, 3)
+        m0, m1 = len(gi), len(gj)
+        n = np.asarray(heightmap_normals(
+            jnp.asarray(hh), cell_size * stride)).reshape(-1, 3)
+        uv = np.stack(np.meshgrid(
+            gi / (r0 - 1), gj / (r1 - 1), indexing="ij"), -1).reshape(-1, 2)
+        idx = []
+        for i in range(m0 - 1):
+            for j in range(m1 - 1):
+                a = i * m1 + j
+                b = a + m1
+                idx.append([a, b, a + 1])
+                idx.append([a + 1, b, b + 1])
+        mesh = MeshData(pos.astype(np.float32), n.astype(np.float32),
+                        uv.astype(np.float32), np.asarray(idx, np.int32))
+        chunks.append((mesh, lod, (ci, cj)))
+    return chunks
+
+
+# Splat shading (reference: tri-material PBR splatting, src/terrain/terrain.h:31
+# + shaders/terrain/terrain_ps.hlsl ground/rock/mud blend by slope & height).
+
+def splat_weights(heights, cell_size, rock_slope_start=0.1,
+                  rock_slope_end=0.25, snow_height_start=0.7,
+                  snow_height_end=0.9):
+    """(R0, R1, 3) blend weights for (grass, rock, snow); rows sum to 1.
+
+    Rock fades in with slope (1 - n.y), snow with normalized height on the
+    remaining non-rock fraction."""
+    n = heightmap_normals(heights, cell_size)
+    slope = 1.0 - n[..., 1]
+    rock = jnp.clip((slope - rock_slope_start)
+                    / (rock_slope_end - rock_slope_start), 0.0, 1.0)
+    h = heights
+    h01 = (h - h.min()) / jnp.maximum(h.max() - h.min(), 1e-6)
+    snow = jnp.clip((h01 - snow_height_start)
+                    / (snow_height_end - snow_height_start), 0.0, 1.0)
+    snow = snow * (1.0 - rock)
+    grass = jnp.clip(1.0 - rock - snow, 0.0, 1.0)
+    w = jnp.stack([grass, rock, snow], -1)
+    return w / jnp.sum(w, -1, keepdims=True)
+
+
+def shade_splat(weights, albedos):
+    """Blend 3 material albedos by splat weights: (..., 3) colors."""
+    albedos = jnp.asarray(albedos)          # (3, 3)
+    return jnp.einsum("...k,kc->...c", weights, albedos)
+
+
 def sample_height_bilinear(heights, origin, cell_size, x, z):
     """Bilinear height + surface normal at world (x, z).
 
