@@ -209,6 +209,48 @@ def physics_step(
     return state, contacts
 
 
+def physics_step_interpolated(
+    arch: SceneArchetype,
+    state: BodyState,
+    settings: PhysicsSettings,
+    dt: float,
+    accumulator: float = 0.0,
+    motor_overrides=None,
+):
+    """Fixed-rate substeps with leftover-time accumulation + interpolated
+    render transforms (reference: src/physics/physics.cpp:1364-1400 —
+    transform0/transform1 lerp by the accumulator fraction).
+
+    `dt` and `accumulator` are static Python floats (one compile per distinct
+    frame dt — frame rates are fixed in practice).  Returns
+    (new_state, contacts, new_accumulator, (render_pos, render_rot)):
+    the render pose lies between the last two substep poses so motion looks
+    smooth at any frame rate that is not a multiple of the physics rate."""
+    h = 1.0 / settings.frame_rate
+    total = accumulator + dt
+    num_substeps = int(total / h)
+    if num_substeps > settings.max_substeps:
+        # Frame drop guard (reference: physics.cpp:1385-1391).
+        num_substeps = settings.max_substeps
+        total = num_substeps * h + (total % h)
+    new_accumulator = total - num_substeps * h
+
+    pos0, rot0 = state.pos, state.rot
+    contacts = None
+    for _ in range(num_substeps):
+        pos0, rot0 = state.pos, state.rot
+        state, contacts = physics_substep(arch, state, h, settings,
+                                          motor_overrides)
+
+    alpha = jnp.asarray(new_accumulator / h, state.pos.dtype)
+    render_pos = pos0 + (state.pos - pos0) * alpha
+    # nlerp with hemisphere correction.
+    dot = jnp.sum(rot0 * state.rot, -1, keepdims=True)
+    rot1 = jnp.where(dot < 0, -state.rot, state.rot)
+    render_rot = m.normalize(rot0 + (rot1 - rot0) * alpha)
+    return state, contacts, new_accumulator, (render_pos, render_rot)
+
+
 def make_batched_step(arch: SceneArchetype, settings: PhysicsSettings, dt: float):
     """jit-compiled batched step: BodyState with leading batch axis."""
 

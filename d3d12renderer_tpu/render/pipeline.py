@@ -125,6 +125,7 @@ def render_frame(
     frame_state: Optional[FrameState] = None,
     prev_camera: Optional[Camera] = None,
     probe_grid=None,
+    transparent_objects=None,
     key=None,
 ):
     """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
@@ -217,6 +218,14 @@ def render_frame(
     d = m.noz(gb.world_pos - camera.position)
     sky = sky_radiance(scene.sky, d.reshape(-1, 3)).reshape(height, width, 3)
     color = jnp.where(gb.hit[..., None], color, sky)
+
+    # --- transparent pass (back-to-front per pixel) ---------------------------
+    # (reference: transparent_render_pass, render_pass.h:100 — depth-keyed
+    #  sort after opaque, before TAA.)
+    if transparent_objects:
+        from .transparent import transparent_pass
+        color = transparent_pass(color, gb, camera, transparent_objects,
+                                 sky=scene.sky)
 
     # --- TAA ------------------------------------------------------------------
     if settings.enable_taa and frame_state is not None:
