@@ -87,6 +87,10 @@ class RendererSettings:
     enable_sharpen: bool = struct.field(pytree_node=False, default=True)
     enable_shadows: bool = struct.field(pytree_node=False, default=True)
     enable_rt_reflections: bool = struct.field(pytree_node=False, default=False)
+    # Run AO/SSS/SSR at half resolution with temporal accumulation and a
+    # bilateral depth-aware upsample (the reference's default:
+    # main_renderer.cpp:78,91).  False = full-res single-frame.
+    half_res_effects: bool = struct.field(pytree_node=False, default=False)
     hbao: post.HBAOSettings = post.HBAOSettings()
     sss: post.SSSSettings = post.SSSSettings()
     ssr: post.SSRSettings = post.SSRSettings()
@@ -100,15 +104,27 @@ class RendererSettings:
 @struct.dataclass
 class FrameState:
     """Temporal resources carried between frames (reference: the renderer's
-    history textures, main_renderer.h:218-255)."""
+    history textures, main_renderer.h:218-255 — TAA color history plus
+    half-res AO/SSS/SSR accumulation buffers)."""
 
     history: jnp.ndarray          # (H, W, 3) TAA history (pre-tonemap)
-    frame_index: jnp.ndarray     # ()
+    frame_index: jnp.ndarray      # ()
+    ao_history: jnp.ndarray = None    # (H/2, W/2)
+    sss_history: jnp.ndarray = None   # (H/2, W/2)
+    ssr_history: jnp.ndarray = None   # (H/2, W/2, 3)
+    ssr_conf_history: jnp.ndarray = None  # (H/2, W/2)
 
 
 def initial_frame_state(width: int, height: int) -> FrameState:
-    return FrameState(history=jnp.zeros((height, width, 3)),
-                      frame_index=jnp.zeros((), jnp.int32))
+    h2, w2 = height // 2, width // 2
+    return FrameState(
+        history=jnp.zeros((height, width, 3)),
+        frame_index=jnp.zeros((), jnp.int32),
+        ao_history=jnp.ones((h2, w2)),
+        sss_history=jnp.ones((h2, w2)),
+        ssr_history=jnp.zeros((h2, w2, 3)),
+        ssr_conf_history=jnp.zeros((h2, w2)),
+    )
 
 
 def render_frame(
@@ -142,17 +158,48 @@ def render_frame(
     else:
         lit = jnp.ones((height, width))
 
-    # --- screen-space ambient occlusion ----------------------------------
+    # --- screen-space ambient occlusion + contact shadows -----------------
+    # Half-res path (reference default): compute at H/2 x W/2, temporally
+    # accumulate against the motion-reprojected history, then bilateral
+    # depth-aware upsample (main_renderer.cpp:78,91).
+    half = settings.half_res_effects
+    hist_updates = {}
+    if half:
+        vp_low = post.downsample2(gb.view_pos)
+        n_low = m.noz(post.downsample2(gb.view_normal))
+        depth_full = jnp.abs(gb.view_pos[..., 2])
+        depth_low = jnp.abs(vp_low[..., 2])
+        motion_low = post.downsample2(gb.motion) * 0.5
+        first = (frame_state.frame_index == 0) if frame_state is not None \
+            else None
+
     if settings.enable_ao:
-        ao = post.hbao(gb.view_pos, gb.view_normal, settings.hbao, key=key)
+        if half:
+            ao_low = post.hbao(vp_low, n_low, settings.hbao, key=key)
+            if frame_state is not None and frame_state.ao_history is not None:
+                ao_low = post.temporal_accumulate(
+                    ao_low, frame_state.ao_history, motion_low, first=first)
+                hist_updates["ao_history"] = ao_low
+            ao = post.bilateral_upsample(ao_low, depth_low, depth_full)
+        else:
+            ao = post.hbao(gb.view_pos, gb.view_normal, settings.hbao,
+                           key=key)
     else:
         ao = jnp.ones((height, width))
 
-    # --- screen-space (contact) shadows ----------------------------------
     if settings.enable_sss:
         sun_view = m.quat_inv_rotate(camera.rotation, -sun_dir)
-        sss = post.screen_space_shadows(gb.view_pos, sun_view, gb.depth,
-                                        settings.sss)
+        if half:
+            sss_low = post.screen_space_shadows(
+                vp_low, sun_view, depth_low, settings.sss)
+            if frame_state is not None and frame_state.sss_history is not None:
+                sss_low = post.temporal_accumulate(
+                    sss_low, frame_state.sss_history, motion_low, first=first)
+                hist_updates["sss_history"] = sss_low
+            sss = post.bilateral_upsample(sss_low, depth_low, depth_full)
+        else:
+            sss = post.screen_space_shadows(gb.view_pos, sun_view, gb.depth,
+                                            settings.sss)
         lit = lit * sss
 
     # --- opaque lighting ---------------------------------------------------
@@ -202,8 +249,25 @@ def render_frame(
     if settings.enable_ssr or rt_refl is not None:
         f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
         if settings.enable_ssr:
-            refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
-                                  gb.roughness, settings.ssr)
+            if half:
+                refl_low, conf_low = post.ssr(
+                    post.downsample2(color), vp_low, n_low,
+                    post.downsample2(gb.roughness), settings.ssr)
+                if (frame_state is not None
+                        and frame_state.ssr_history is not None):
+                    refl_low = post.temporal_accumulate(
+                        refl_low, frame_state.ssr_history, motion_low,
+                        first=first)
+                    conf_low = post.temporal_accumulate(
+                        conf_low, frame_state.ssr_conf_history, motion_low,
+                        first=first)
+                    hist_updates["ssr_history"] = refl_low
+                    hist_updates["ssr_conf_history"] = conf_low
+                refl = post.bilateral_upsample(refl_low, depth_low, depth_full)
+                conf = post.bilateral_upsample(conf_low, depth_low, depth_full)
+            else:
+                refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
+                                      gb.roughness, settings.ssr)
         else:
             refl = jnp.zeros_like(color)
             conf = jnp.zeros(color.shape[:-1])
@@ -228,12 +292,15 @@ def render_frame(
                                  sky=scene.sky)
 
     # --- TAA ------------------------------------------------------------------
-    if settings.enable_taa and frame_state is not None:
-        first = frame_state.frame_index == 0
-        blended = post.taa(color, frame_state.history, gb.motion, settings.taa)
-        color = jnp.where(first, color, blended)
-        new_state = FrameState(history=color,
-                               frame_index=frame_state.frame_index + 1)
+    if frame_state is not None:
+        first_frame = frame_state.frame_index == 0
+        if settings.enable_taa:
+            blended = post.taa(color, frame_state.history, gb.motion,
+                               settings.taa)
+            color = jnp.where(first_frame, color, blended)
+        new_state = frame_state.replace(
+            history=color, frame_index=frame_state.frame_index + 1,
+            **hist_updates)
     else:
         new_state = frame_state
 

@@ -156,6 +156,70 @@ def upsample2(img, target_hw):
                             "bilinear")
 
 
+def bilateral_upsample(low, depth_low, depth_full, sigma_z=0.5):
+    """Depth-aware 2x upsample of a half-res effect buffer.
+
+    Reference: the AO/SSS/SSR chains upsample-blur with a bilateral filter
+    (main_renderer.cpp:78,91; shaders/post_processing/bilateral_blur*).
+    low (h2, w2[, C]); depth_low (h2, w2); depth_full (H, W).  Each full-res
+    pixel blends its 4 bilinear low-res taps re-weighted by depth similarity,
+    so effects don't bleed across silhouettes."""
+    h, w = depth_full.shape
+    h2, w2 = depth_low.shape
+    fy = (jnp.arange(h) + 0.5) / 2.0 - 0.5
+    fx = (jnp.arange(w) + 0.5) / 2.0 - 0.5
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h2 - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w2 - 1)
+    y1 = jnp.minimum(y0 + 1, h2 - 1)
+    x1 = jnp.minimum(x0 + 1, w2 - 1)
+    wy = jnp.clip(fy - y0, 0.0, 1.0)[:, None]
+    wx = jnp.clip(fx - x0, 0.0, 1.0)[None, :]
+
+    vec = low.ndim == 3
+    num = jnp.zeros((h, w) + ((low.shape[-1],) if vec else ()))
+    den = jnp.zeros((h, w))
+    taps = [
+        (y0, x0, (1 - wy) * (1 - wx)),
+        (y0, x1, (1 - wy) * wx),
+        (y1, x0, wy * (1 - wx)),
+        (y1, x1, wy * wx),
+    ]
+    for ty, tx, wb in taps:
+        d = depth_low[ty[:, None], tx[None, :]]
+        wz = jnp.exp(-jnp.abs(depth_full - d) / sigma_z)
+        wt = wb * wz + 1e-6
+        v = low[ty[:, None], tx[None, :]]
+        num = num + (wt[..., None] * v if vec else wt * v)
+        den = den + wt
+    return num / (den[..., None] if vec else den)
+
+
+def temporal_accumulate(current, history, motion, blend=0.85, first=None):
+    """Exponential history accumulation with motion reprojection +
+    neighborhood clamp — the temporal half of the reference's half-res
+    AO/SSS/SSR chains (main_renderer.cpp:78,91)."""
+    vec = current.ndim == 3
+    h, w = current.shape[:2]
+    yy = jnp.clip(
+        jnp.arange(h)[:, None] + jnp.round(motion[..., 1]).astype(jnp.int32),
+        0, h - 1)
+    xx = jnp.clip(
+        jnp.arange(w)[None, :] + jnp.round(motion[..., 0]).astype(jnp.int32),
+        0, w - 1)
+    hist = history[yy, xx]
+    nmin, nmax = current, current
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            r = jnp.roll(jnp.roll(current, dy, 0), dx, 1)
+            nmin = jnp.minimum(nmin, r)
+            nmax = jnp.maximum(nmax, r)
+    hist = jnp.clip(hist, nmin, nmax)
+    out = current * (1 - blend) + hist * blend
+    if first is not None:
+        out = jnp.where(first, current, out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # HBAO (reference: hbao_cs.hlsl — horizon-based AO on the depth buffer,
 # half-res + temporal in the reference; here full-res with N rays)
