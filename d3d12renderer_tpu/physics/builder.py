@@ -68,6 +68,12 @@ class _Joint:
     body_a: int
     body_b: int
     params: Dict[str, np.ndarray]
+    # Reference parity: the reference DOES collide jointed bodies unless they
+    # share a no-collide group (src/physics/physics.cpp constraint adds place
+    # no such exclusion).  Our default excludes them (standard ragdoll
+    # behavior, documented divergence); pass collide_connected=True on
+    # add_joint for exact reference semantics.
+    collide_connected: bool = False
 
 
 def _hull_mass_properties(verts: np.ndarray, rho: float):
@@ -361,16 +367,23 @@ class SceneBuilder:
 
     # -- joints ------------------------------------------------------------
 
-    def add_joint(self, kind: str, body_a: int, body_b: int, **params):
+    def add_joint(self, kind: str, body_a: int, body_b: int,
+                  collide_connected: bool = False, **params):
         self.joints.append(
             _Joint(
                 kind=kind,
                 body_a=body_a,
                 body_b=body_b,
                 params={k: np.asarray(v, np.float32) for k, v in params.items()},
+                collide_connected=collide_connected,
             )
         )
         return len(self.joints) - 1
+
+    def set_collide_connected(self, joint_index: int, value: bool = True):
+        """Reference-parity switch for a joint added via any add_*_joint
+        helper: let its two bodies collide (the reference default)."""
+        self.joints[joint_index].collide_connected = value
 
     def _body_pose(self, body: int):
         if body < 0:
@@ -560,9 +573,12 @@ class SceneBuilder:
             and ba.no_collide_group == bb.no_collide_group
         ):
             return False
-        # bodies connected by a joint don't collide (standard ragdoll behavior)
+        # Bodies connected by a joint don't collide unless the joint opted
+        # into reference semantics via collide_connected (the reference
+        # always collides them; no-collide groups are its only exclusion).
         for j in self.joints:
-            if {j.body_a, j.body_b} == {body_a, body_b}:
+            if ({j.body_a, j.body_b} == {body_a, body_b}
+                    and not j.collide_connected):
                 return False
         return True
 

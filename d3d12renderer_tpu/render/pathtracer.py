@@ -62,14 +62,44 @@ def sample_albedo(materials: "Materials", mat, uv):
 
 @struct.dataclass
 class Sky:
-    """Procedural sky: sun disc + gradient (reference textured/procedural sky
-    shaders/sky/sky_procedural_ps.hlsl simplified)."""
+    """Sky environment: procedural sun disc + gradient, or a textured
+    cubemap (reference: both paths, shaders/sky/sky_procedural_ps.hlsl and
+    sky_texture_ps.hlsl; selected per frame by main_renderer)."""
 
     sun_direction: jnp.ndarray   # (3,) direction TOWARD the sun
     sun_radiance: jnp.ndarray    # (3,)
     zenith: jnp.ndarray          # (3,)
     horizon: jnp.ndarray         # (3,)
     ground: jnp.ndarray          # (3,)
+    # Optional (6, R, R, 3) cubemap (+X -X +Y -Y +Z -Z); when present it
+    # replaces the gradient (the sun disc still adds on top).
+    cubemap: jnp.ndarray = None
+
+
+def sample_cubemap(cube, d):
+    """Sample a (6, R, R, 3) cubemap with directions d (..., 3) — nearest
+    texel (the sky is low-frequency; reference samples with trilinear)."""
+    r = cube.shape[1]
+    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
+    # Face selection by major axis.
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(d[..., 0] > 0, 0, 1),
+        jnp.where(is_y, jnp.where(d[..., 1] > 0, 2, 3),
+                  jnp.where(d[..., 2] > 0, 4, 5)),
+    )
+    major = jnp.where(is_x, d[..., 0], jnp.where(is_y, d[..., 1], d[..., 2]))
+    # Standard cubemap (s, t) per face.
+    sc = jnp.where(
+        is_x, -jnp.sign(d[..., 0]) * d[..., 2],
+        jnp.where(is_y, d[..., 0], jnp.sign(d[..., 2]) * d[..., 0]),
+    )
+    tc = jnp.where(is_y, jnp.sign(d[..., 1]) * d[..., 2], -d[..., 1])
+    inv = 1.0 / jnp.maximum(jnp.abs(major), 1e-9)
+    u = jnp.clip((sc * inv * 0.5 + 0.5) * (r - 1), 0, r - 1).astype(jnp.int32)
+    v = jnp.clip((tc * inv * 0.5 + 0.5) * (r - 1), 0, r - 1).astype(jnp.int32)
+    return cube[face, v, u]
 
 
 @struct.dataclass
@@ -107,13 +137,17 @@ def default_sky(sun_direction=(-0.6, 0.8, -0.3)) -> Sky:
 
 
 def sky_radiance(sky: Sky, d):
-    """Environment lookup for a miss direction (R, 3)."""
+    """Environment lookup for a miss direction (R, 3): textured cubemap when
+    present, procedural gradient otherwise (reference: textured / procedural
+    sky selection, render_algorithms.cpp texturedSky / proceduralSky)."""
+    cos_sun = jnp.sum(d * sky.sun_direction, -1, keepdims=True)
+    sun = jnp.where(cos_sun > 0.9995, sky.sun_radiance, 0.0)
+    if sky.cubemap is not None:
+        return sample_cubemap(sky.cubemap, d) + sun
     y = d[..., 1:2]
     t = jnp.clip(y, 0.0, 1.0) ** 0.6
     col = sky.horizon * (1 - t) + sky.zenith * t
     col = jnp.where(y < 0, sky.ground, col)
-    cos_sun = jnp.sum(d * sky.sun_direction, -1, keepdims=True)
-    sun = jnp.where(cos_sun > 0.9995, sky.sun_radiance, 0.0)
     return col + sun
 
 
