@@ -142,6 +142,9 @@ def render_frame(
     prev_camera: Optional[Camera] = None,
     probe_grid=None,
     transparent_objects=None,
+    decals=None,
+    water_height=None,
+    time=0.0,
     key=None,
 ):
     """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
@@ -150,6 +153,12 @@ def render_frame(
     panels (editor.h:45-51): ao, shadow, ssr confidence, gbuffer."""
     gb = render_gbuffer(scene, camera, width, height, prev_camera=prev_camera,
                         jitter_key=key)
+
+    # --- decal projection into the G-buffer --------------------------------
+    # (reference: tiled decal culling + projection in the opaque pass.)
+    if decals is not None:
+        from .decals import apply_decals
+        gb = apply_decals(gb, decals)
 
     # --- sun shadow term -------------------------------------------------
     sun_dir = -scene.sky.sun_direction  # direction light travels
@@ -290,6 +299,12 @@ def render_frame(
         from .transparent import transparent_pass
         color = transparent_pass(color, gb, camera, transparent_objects,
                                  sky=scene.sky)
+
+    # --- water (the reference's other transparent-pass member) ---------------
+    if water_height is not None:
+        from .water_pass import water_pass
+        color = water_pass(color, gb, camera, scene.sky,
+                           water_height=water_height, time=time)
 
     # --- TAA ------------------------------------------------------------------
     if frame_state is not None:

@@ -1,0 +1,288 @@
+"""The "everything on" demo frame — the Sponza-equivalent default scene
+(reference: src/application.cpp:106+ builds terrain + water + grass + trees +
+physics objects + lights; this composes every subsystem into ONE frame):
+
+  terrain (LOD chunks + splat texture) · water · grass · trees ·
+  physics-settled boxes/spheres · sun CSM + spot + point shadows from one
+  atlas · DDGI probe ambient · RT reflections blended with SSR · decals ·
+  a transparent glass slab · GPU-style fire particles splatted additively ·
+  half-res temporal AO · TAA · bloom · tonemap · sharpen.
+
+Usage: python examples/showcase.py [--size 256] [--platform cpu|axon]
+"""
+
+import argparse
+import math
+import time
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--size", type=int, default=256)
+parser.add_argument("--platform", default="cpu")
+parser.add_argument("--out", default="showcase.png")
+parser.add_argument("--physics-steps", type=int, default=180)
+args = parser.parse_args()
+
+import jax
+
+jax.config.update("jax_platforms", args.platform)
+
+import jax.numpy as jnp
+import numpy as np
+
+from d3d12renderer_tpu.physics.builder import SceneBuilder
+from d3d12renderer_tpu.physics.step import physics_step
+from d3d12renderer_tpu.physics.types import PhysicsSettings
+from d3d12renderer_tpu.render import bvh as bvh_mod
+from d3d12renderer_tpu.render import mesh as mesh_mod
+from d3d12renderer_tpu.render.camera import look_at
+from d3d12renderer_tpu.render.decals import make_decals
+from d3d12renderer_tpu.render.light_probe import (
+    create_probe_grid, update_probes,
+)
+from d3d12renderer_tpu.render.lights import SpotLights, make_point_lights
+from d3d12renderer_tpu.render.pathtracer import Materials, Scene, default_sky
+from d3d12renderer_tpu.render.pipeline import (
+    RendererSettings, initial_frame_state, render_frame,
+)
+from d3d12renderer_tpu.render.shadows import ShadowAtlas
+from d3d12renderer_tpu.render.transparent import TransparentObject
+from d3d12renderer_tpu.particles import systems as psys
+from d3d12renderer_tpu.terrain.grass import (
+    blade_triangles, generate_grass_blades,
+)
+from d3d12renderer_tpu.terrain.heightmap import (
+    generate_heightmap, sample_height_bilinear, shade_splat, splat_weights,
+    terrain_lod_chunks,
+)
+
+SIZE = args.size
+WORLD = 48.0
+RES = 65
+CELL = WORLD / (RES - 1)
+ORIGIN = (-WORLD / 2, 0.0, -WORLD / 2)
+
+t_start = time.time()
+
+# --- terrain ---------------------------------------------------------------
+heights = generate_heightmap(resolution=RES, world_size=WORLD, amplitude=5.0,
+                             noise_scale=0.06, seed=7)
+heights_np = np.asarray(heights)
+cam_pos = (0.0, 7.5, -16.0)
+chunks = terrain_lod_chunks(heights_np, ORIGIN, CELL, chunk_cells=16,
+                            camera_pos=cam_pos)
+splat = shade_splat(splat_weights(heights, CELL),
+                    [[0.20, 0.42, 0.12], [0.38, 0.35, 0.33],
+                     [0.88, 0.88, 0.92]])
+splat_tex = jnp.asarray(np.asarray(splat), jnp.float32)
+
+def sample_h(x, z):
+    h, _ = sample_height_bilinear(heights, ORIGIN, CELL, jnp.asarray(x),
+                                  jnp.asarray(z))
+    return float(h)
+
+# --- physics: drop boxes and spheres onto the terrain -----------------------
+pb = SceneBuilder()
+pb.add_terrain(heights_np, origin=ORIGIN, cell_size=CELL, friction=0.7)
+rng = np.random.default_rng(0)
+phys_shapes = []
+for i in range(6):
+    x, z = rng.uniform(-6, 6, 2)
+    body = pb.add_body(position=(x, sample_h(x, z) + 3.0 + i * 0.5, z))
+    if i % 2 == 0:
+        pb.add_box_collider(body, (0.45, 0.45, 0.45), friction=0.7)
+        phys_shapes.append(("box", body))
+    else:
+        pb.add_sphere_collider(body, 0.45, friction=0.7)
+        phys_shapes.append(("sphere", body))
+arch, pstate = pb.finalize()
+settings_p = PhysicsSettings()
+step = jax.jit(lambda s: physics_step(arch, s, settings_p, 1 / 60,
+                                      num_substeps=2)[0])
+for _ in range(args.physics_steps):
+    pstate = step(pstate)
+pstate = jax.device_get(pstate)
+print(f"physics settled ({args.physics_steps} frames): "
+      f"heights {np.asarray(pstate.pos)[:, 1].round(2)}")
+
+# --- compose render meshes ---------------------------------------------------
+meshes = []            # (MeshData, material_id)
+MAT_TERRAIN = 0
+for mesh, lod, _ in chunks:
+    meshes.append((mesh, MAT_TERRAIN))
+
+# Trees: trunk + canopy at placement points.
+tree_pts = []
+for _ in range(7):
+    x, z = rng.uniform(-18, 18, 2)
+    y = sample_h(x, z)
+    if y > 3.4:      # no trees on peaks
+        continue
+    tree_pts.append((x, y, z))
+for (x, y, z) in tree_pts:
+    trunk = mesh_mod.cylinder(0.18, 1.2, slices=8).transformed(
+        translate=(x, y + 1.2, z))
+    canopy = mesh_mod.ico_sphere(1.0, 1).transformed(
+        translate=(x, y + 2.8, z))
+    meshes.append((trunk, 2))
+    meshes.append((canopy, 3))
+
+# Grass blades near the camera (triangle soup -> one mesh).
+blades = generate_grass_blades(heights, ORIGIN, CELL, WORLD,
+                               jax.random.PRNGKey(3), blades_per_side=28,
+                               density=0.6)
+gverts, gtris = blade_triangles(blades, time=0.4, segments=2)
+g_mesh = mesh_mod.MeshData(
+    positions=np.asarray(gverts, np.float32),
+    normals=np.tile(np.array([[0, 1, 0]], np.float32), (len(gverts), 1)),
+    uvs=np.zeros((len(gverts), 2), np.float32),
+    indices=np.asarray(gtris, np.int32),
+)
+meshes.append((g_mesh, 4))
+
+# Physics-settled objects.
+for (kind, body), pos, rot in zip(phys_shapes, np.asarray(pstate.pos),
+                                  np.asarray(pstate.rot)):
+    if kind == "box":
+        mesh = mesh_mod.box((0.45, 0.45, 0.45)).transformed(
+            translate=tuple(pos), rotate=tuple(rot))
+        meshes.append((mesh, 5))
+    else:
+        mesh = mesh_mod.ico_sphere(0.45, 2).transformed(translate=tuple(pos))
+        meshes.append((mesh, 6))
+
+scene_bvh = bvh_mod.build_bvh(meshes)
+print(f"scene: {int(np.asarray(scene_bvh.tri_valid).sum())} triangles, "
+      f"{len(meshes)} meshes, {len(chunks)} terrain LOD chunks")
+
+mats = Materials(
+    albedo=jnp.array([
+        [1.0, 1.0, 1.0],      # 0 terrain (tinted by splat texture)
+        [0.5, 0.5, 0.5],      # 1 unused
+        [0.45, 0.3, 0.18],    # 2 trunk
+        [0.15, 0.4, 0.12],    # 3 canopy
+        [0.25, 0.5, 0.15],    # 4 grass
+        [0.7, 0.25, 0.2],     # 5 boxes
+        [0.9, 0.9, 0.95],     # 6 spheres (metal)
+    ]),
+    emissive=jnp.zeros((7, 3)),
+    roughness=jnp.array([0.9, 0.5, 0.8, 0.7, 0.6, 0.5, 0.15]),
+    metallic=jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+    texture_atlas=splat_tex[None],
+    albedo_texture=jnp.array([0, -1, -1, -1, -1, -1, -1], jnp.int32),
+)
+scene = Scene(bvh=scene_bvh, materials=mats, sky=default_sky())
+cam = look_at(eye=cam_pos, target=(0.0, 1.5, 0.0), aspect=1.0,
+              v_fov=math.radians(50))
+
+# --- shadows: sun CSM + spot + point from ONE atlas --------------------------
+atlas = ShadowAtlas(size=4096)
+sun_maps = atlas.update_sun(scene_bvh, jnp.asarray(cam_pos),
+                            -scene.sky.sun_direction, resolution=384)
+spot_pos, spot_dir = (5.0, 9.0, -4.0), (-0.4, -0.85, 0.35)
+smap = atlas.update_spot(scene_bvh, 0, spot_pos, spot_dir, 0.65, 28.0,
+                         resolution=256)
+ppos = (-4.0, sample_h(-4.0, 2.0) + 2.5, 2.0)
+pmap = atlas.update_point(scene_bvh, 0, ppos, 16.0, resolution=192)
+print(f"shadow atlas: {len(atlas.viewports)} viewports, "
+      f"{atlas.cache.misses} rendered")
+
+points = make_point_lights([ppos], [(30.0, 22.0, 12.0)], [16.0])
+spots = SpotLights(
+    position=jnp.array([spot_pos]),
+    direction=jnp.asarray(np.array([spot_dir]) / np.linalg.norm(spot_dir)),
+    color=jnp.array([[45.0, 42.0, 38.0]]),
+    distance=jnp.array([28.0]), inner_cos=jnp.array([0.85]),
+    outer_cos=jnp.array([0.65]), valid=jnp.array([True]),
+)
+
+# --- DDGI probes -------------------------------------------------------------
+grid = create_probe_grid(origin=(-12.0, 0.5, -12.0), extent=(24.0, 8.0, 24.0),
+                         dims=(5, 3, 5))
+for i in range(2):
+    grid = update_probes(grid, scene, jax.random.PRNGKey(40 + i),
+                         rays_per_probe=32)
+
+# --- decals ------------------------------------------------------------------
+y0 = sample_h(2.0, -3.0)
+decals = make_decals(
+    positions=[(2.0, y0, -3.0)],
+    rotations=[(0.7071, 0.0, 0.0, 0.7071)],   # project straight down
+    half_extents=[(1.2, 1.2, 2.0)],
+    albedos=[(0.05, 0.05, 0.06)],             # scorch mark
+)
+
+# --- transparent glass slab ---------------------------------------------------
+gx, gz = 3.0, 3.0
+glass = TransparentObject(
+    bvh=bvh_mod.build_bvh([(mesh_mod.box((1.2, 1.0, 0.08)).transformed(
+        translate=(gx, sample_h(gx, gz) + 1.2, gz)), 0)]),
+    color=(0.5, 0.8, 0.7), alpha=0.35)
+
+# --- fire particles (simulated, then splatted additively) ---------------------
+fire_origin = (-2.0, sample_h(-2.0, -2.0) + 0.2, -2.0)
+fire = psys.make_fire_system(origin=fire_origin, capacity=256)
+pp_state = fire["create"](jax.random.PRNGKey(9))
+sim = jax.jit(lambda s: fire["step"](s, 1 / 60.0))
+for _ in range(45):
+    pp_state = sim(pp_state)
+
+
+def splat_particles(img, camera, positions, alive, color, radius_px=2):
+    """Additive screen splats — the GPU particle composite (reference:
+    particle billboards with additive blend)."""
+    from d3d12renderer_tpu.core import maths as m
+
+    h, w, _ = img.shape
+    view = m.quat_inv_rotate(camera.rotation[None],
+                             positions - camera.position)
+    z = jnp.maximum(-view[:, 2], 1e-3)       # camera looks down -Z
+    half_h = jnp.tan(camera.v_fov / 2)
+    u = (view[:, 0] / (z * half_h * camera.aspect)) * 0.5 + 0.5
+    v = (-view[:, 1] / (z * half_h)) * 0.5 + 0.5
+    px = jnp.clip((u * (w - 1)).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((v * (h - 1)).astype(jnp.int32), 0, h - 1)
+    ok = alive & (-view[:, 2] > 0.1) & (u > 0) & (u < 1) & (v > 0) & (v < 1)
+    out = img
+    for dy in range(-radius_px, radius_px + 1):
+        for dx in range(-radius_px, radius_px + 1):
+            yy = jnp.clip(py + dy, 0, h - 1)
+            xx = jnp.clip(px + dx, 0, w - 1)
+            out = out.at[yy, xx].add(
+                jnp.where(ok[:, None], color, 0.0) * 0.5)
+    return out
+
+
+# --- the frame ----------------------------------------------------------------
+rs = RendererSettings(enable_sss=True, enable_rt_reflections=True,
+                      half_res_effects=True)
+fs = initial_frame_state(SIZE, SIZE)
+water_h = 0.9
+
+fn = jax.jit(lambda st, key: render_frame(
+    scene, cam, SIZE, SIZE, rs,
+    point_lights=points, spot_lights=spots,
+    shadow_maps=sun_maps, spot_shadow_maps=[smap], point_shadow_maps=[pmap],
+    probe_grid=grid, transparent_objects=[glass], decals=decals,
+    water_height=water_h, frame_state=st, key=key))
+
+t0 = time.time()
+ldr, fs, aux = fn(fs, jax.random.PRNGKey(0))
+ldr.block_until_ready()
+print(f"frame compile+run: {time.time() - t0:.1f}s")
+for i in range(1, 3):
+    t0 = time.time()
+    ldr, fs, aux = fn(fs, jax.random.PRNGKey(i))
+    ldr.block_until_ready()
+print(f"steady frame: {(time.time() - t0) * 1e3:.0f} ms")
+
+# Particles composite after tonemap (emissive overlay).
+ldr = splat_particles(ldr, cam, pp_state.position, pp_state.alive,
+                      jnp.array([1.0, 0.45, 0.1]))
+
+from PIL import Image
+
+arr = np.asarray((jnp.clip(ldr, 0, 1) * 255).astype(jnp.uint8))
+Image.fromarray(arr).save(args.out)
+print(f"wrote {args.out}; total {time.time() - t_start:.0f}s; "
+      f"mean luma {arr.mean():.1f}; particles alive "
+      f"{int(np.asarray(pp_state.alive).sum())}")
