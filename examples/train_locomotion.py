@@ -20,6 +20,9 @@ parser.add_argument("--rollout", type=int, default=64)
 parser.add_argument("--platform", default=None)
 parser.add_argument("--mesh", type=int, default=0, help="data-parallel devices")
 parser.add_argument("--logdir", default="tmp/loco")
+parser.add_argument("--eval-render", default=None,
+                    help="after training, path-trace env 0's final pose to "
+                         "this PNG (BASELINE config 5's eval-render leg)")
 args = parser.parse_args()
 
 import jax
@@ -70,3 +73,17 @@ for it in range(args.iterations):
 
 print(f"trained {args.iterations * steps_per_iter:,} env-steps "
       f"in {time.time() - t0:.1f}s; checkpoints in {args.logdir}")
+
+if args.eval_render:
+    from PIL import Image
+
+    from d3d12renderer_tpu.render.physics_viz import render_physics_state
+
+    env_state = jax.device_get(state.env_state)
+    bodies0 = jax.tree_util.tree_map(lambda x: x[0], env_state.bodies)
+    t0 = time.time()
+    img = render_physics_state(env.arch, bodies0, eye=(4.0, 2.5, 5.0),
+                               target=(0.0, 0.9, 0.0), size=256, spp=8)
+    Image.fromarray(img).save(args.eval_render)
+    print(f"eval render: wrote {args.eval_render} "
+          f"({time.time() - t0:.1f}s, mean luma {img.mean():.1f})")
