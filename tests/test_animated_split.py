@@ -4,6 +4,7 @@ skinning dispatch, skinning.cpp:235).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +65,7 @@ def test_skinned_triangles_move_with_the_clip(tmp_path):
                                atol=1e-2)
 
 
+@pytest.mark.slow
 def test_frame_bvh_traces_animated_geometry(tmp_path):
     asset = _skinned_asset(tmp_path)
     inst = from_model_asset(asset)

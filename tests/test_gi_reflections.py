@@ -8,6 +8,7 @@ Reference: probe update in the compute phase + opaque-pass ambient sampling
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d3d12renderer_tpu.render import bvh as bvh_mod
 from d3d12renderer_tpu.render import mesh as mesh_mod
@@ -60,6 +61,7 @@ def test_render_frame_rt_reflections_blend():
     assert np.isfinite(np.asarray(ldr)).all()
 
 
+@pytest.mark.slow
 def test_probe_grid_ambient_in_frame():
     scene = _scene()
     grid = create_probe_grid(origin=(-4.0, 0.2, -4.0), extent=(8.0, 3.0, 8.0),

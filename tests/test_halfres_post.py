@@ -3,6 +3,7 @@
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from d3d12renderer_tpu.render import bvh as bvh_mod
@@ -63,6 +64,7 @@ def _scene():
     return Scene(bvh=b, materials=mats, sky=default_sky())
 
 
+@pytest.mark.slow
 def test_half_res_frame_runs_and_updates_histories():
     scene = _scene()
     cam = look_at((4.0, 3.0, -6.0), (0.0, 0.5, 0.0))

@@ -5,6 +5,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d3d12renderer_tpu.physics.builder import SceneBuilder
 from d3d12renderer_tpu.physics.heightmap_collision import (
@@ -44,6 +45,7 @@ def test_vertex_triangle_contacts_flat():
     assert int(msk.sum()) == 1  # the above-surface vertex contributes nothing
 
 
+@pytest.mark.slow
 def test_cliff_contact_found_only_by_triangles():
     """A box floating next to a cliff wall: its center is over the low side,
     so the bilinear tangent plane under the center reports no contact, but a
@@ -78,6 +80,7 @@ def test_cliff_contact_found_only_by_triangles():
     assert ni[0] < -0.3
 
 
+@pytest.mark.slow
 def test_box_rests_on_terrain_triangles():
     h = np.full((9, 9), 1.5, np.float32)
     b = SceneBuilder()

@@ -13,6 +13,7 @@ import math
 
 import jax
 import numpy as np
+import pytest
 
 from d3d12renderer_tpu.physics.builder import SceneBuilder
 from d3d12renderer_tpu.physics.step import physics_step
@@ -730,6 +731,7 @@ def test_slider_limit_motor_matches_reference():
     _assert_close(traj_jax, _simulate([w, d], joints, 240))
 
 
+@pytest.mark.slow
 def test_three_body_chain_matches_reference():
     """world -ball- b1 -hinge- b2 -cone_twist- b3 under gravity.
 

@@ -9,6 +9,7 @@ types sampled per light.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d3d12renderer_tpu.render import bvh as bvh_mod
 from d3d12renderer_tpu.render import mesh as mesh_mod
@@ -108,6 +109,7 @@ def test_atlas_packing_and_static_cache():
     assert float(vis[0]) < 0.5 and float(vis[1]) > 0.5
 
 
+@pytest.mark.slow
 def test_render_frame_three_shadowed_light_types():
     b = _occluder_scene()
     mats = Materials(
