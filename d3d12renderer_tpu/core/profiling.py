@@ -130,3 +130,99 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# Per-chip peaks for roofline utilization (public figures; bf16 matmul FLOPs
+# and HBM bandwidth).  The reference's GPU timestamp queries (dx_query.h,
+# dx_profiling.h:25) answer "how long did this pass take on-device" — here the
+# same question is answered per compiled XLA program, plus what the hardware
+# ceiling for it was.
+PLATFORM_PEAKS = {
+    "tpu": {"flops": 197e12, "hbm_gbps": 819.0},   # v5e
+    "cpu": {"flops": 1e11, "hbm_gbps": 50.0},      # order-of-magnitude only
+}
+
+
+def _dispatch_floor(device) -> float:
+    """Seconds for an empty round trip (the ~1-2 ms tunnel floor on the
+    remote TPU); cached per device."""
+    import jax
+    import jax.numpy as jnp
+
+    key = str(device)
+    if key not in _dispatch_floor._cache:
+        tiny = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,))
+        jax.block_until_ready(tiny(x))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.block_until_ready(tiny(x))
+        _dispatch_floor._cache[key] = (time.perf_counter() - t0) / 10
+    return _dispatch_floor._cache[key]
+
+
+_dispatch_floor._cache = {}
+
+
+def kernel_report(fn, *args, iters: int = 10, warmup: int = 2, **kw) -> dict:
+    """Per-kernel device timing + roofline: compile the function, time the
+    steady state (dispatch-floor corrected), and combine with XLA's own cost
+    analysis into achieved GFLOP/s, GB/s, and utilization of the chip peaks.
+
+    Replaces the reference's per-pass GPU timestamp resolve
+    (dx_profiling.h:25) with the XLA-native equivalent: the compiled
+    executable IS the kernel boundary on TPU.
+    """
+    import jax
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(fn).lower(*args, **kw)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    cost = cost or {}
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    out = None
+    for _ in range(warmup):
+        out = compiled(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*args, **kw)
+    jax.block_until_ready(out)
+    wall_s = (time.perf_counter() - t0) / iters
+
+    device = jax.devices()[0]
+    device_s = max(wall_s - _dispatch_floor(device), 1e-9)
+    peaks = PLATFORM_PEAKS.get(device.platform, PLATFORM_PEAKS["cpu"])
+    gflops = flops / device_s / 1e9
+    gbps = bytes_accessed / device_s / 1e9
+    return {
+        "compile_s": compile_s,
+        "wall_s_per_call": wall_s,
+        "device_s_per_call": device_s,
+        "flops": flops,
+        "bytes_accessed": bytes_accessed,
+        "achieved_gflops": gflops,
+        "achieved_gbps": gbps,
+        "flops_utilization": gflops * 1e9 / peaks["flops"],
+        "hbm_utilization": gbps / peaks["hbm_gbps"],
+        "platform": device.platform,
+    }
+
+
+def profile_kernels(named, iters: int = 10) -> dict:
+    """kernel_report over {name: (fn, args)}; records each as a profile stat
+    and returns {name: report}.  The text table is the CLI stand-in for the
+    reference's per-pass GPU timing bars."""
+    reports = {}
+    for name, (fn, fargs) in named.items():
+        rep = kernel_report(fn, *fargs, iters=iters)
+        reports[name] = rep
+        profile_stat(f"kernel/{name}/device_ms", rep["device_s_per_call"] * 1e3)
+    return reports

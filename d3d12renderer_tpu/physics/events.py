@@ -80,14 +80,33 @@ def collision_events(contacts: ContactTable, vel, omega,
 
 
 def ray_poke(arch: SceneArchetype, state: BodyState, origin, direction,
-             strength: float = 1000.0):
+             strength: float = 1000.0, exact: bool = False):
     """Apply an impulse force along a ray to the nearest body hit
-    (reference: physics.cpp:555 testPhysicsInteraction; sphere-approximate
-    intersection against collider bounds)."""
-    from .collide import collider_world_poses
+    (reference: physics.cpp:555 testPhysicsInteraction).
 
+    Default path: sphere-approximate intersection against collider bounds —
+    cheap enough for in-env pokes under vmap.  ``exact=True`` routes through
+    :func:`d3d12renderer_tpu.physics.raycast.ray_cast` (the exact
+    per-primitive tests, reference bounding_volumes.cpp) so the force is
+    applied at the true surface point — the editor-picking behavior."""
     origin = jnp.asarray(origin)
     direction = m.noz(jnp.asarray(direction))
+
+    if exact:
+        from .raycast import ray_cast
+
+        h = ray_cast(arch, state, origin, direction)
+        body_hit = h.hit & (h.body >= 0)
+        body = jnp.clip(h.body, 0, state.pos.shape[-2] - 1)
+        force = direction * strength * body_hit
+        torque = jnp.cross(h.point - state.pos[body], force)
+        return state.replace(
+            force=state.force.at[body].add(force),
+            torque=state.torque.at[body].add(torque),
+        )
+
+    from .collide import collider_world_poses
+
     wpos, _ = collider_world_poses(arch, state)
     r = arch.col_bound_radius
 

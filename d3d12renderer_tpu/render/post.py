@@ -14,7 +14,7 @@ tonemap A=0.22 B=0.3 C=0.1 D=0.2 E=0.01 F=0.3 white=11.2 exposure=0.2).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -114,7 +114,60 @@ def gaussian_kernel(sigma: float, radius: Optional[int] = None):
     return k / jnp.sum(k)
 
 
-def gaussian_blur(img, sigma=2.0):
+@lru_cache(maxsize=32)
+def _banded_blur_matrix(n, sigma, radius, dtype_name):
+    """(n, n) edge-clamped convolution matrix: row i holds the kernel
+    centered at i, out-of-range taps accumulated onto the border sample
+    (identical boundary handling to _sep_conv's edge padding).  Built
+    host-side with numpy — everything is static, and shipping the finished
+    constant keeps a big scatter-add out of the HLO (the traced version
+    crashed the TPU compiler's fusion pass)."""
+    import numpy as np
+
+    radius = radius if radius is not None else max(1, int(3 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    b = np.zeros((n, n), np.float32)
+    rows = np.arange(n)
+    for t in range(2 * radius + 1):
+        np.add.at(b, (rows, np.clip(rows + t - radius, 0, n - 1)), k[t])
+    return jnp.asarray(b, dtype=jnp.dtype(dtype_name))
+
+
+def gaussian_blur_matmul(img, sigma=2.0, radius=None, dtype=jnp.bfloat16):
+    """Separable gaussian as TWO BANDED MATMULS on the MXU.
+
+    TPU-first replacement for shift-chain convolution: out = Bh @ img @ Bw^T
+    where Bh/Bw are constant banded matrices (XLA folds them at compile
+    time).  A 1080p 3-channel blur is ~16 GFLOP — microseconds of MXU time —
+    and reads the image exactly once, where the shift-chain does 2(2r+1)
+    vector adds over the full target.  bf16 inputs with f32 accumulation:
+    blur weights sum to 1, so error stays at bf16 resolution (~3e-3).
+    Reference pass: shaders/post_processing/gaussian_blur_*_cs.hlsl."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    dname = jnp.dtype(dtype).name
+    bh = _banded_blur_matrix(h, float(sigma), radius, dname)
+    bw = _banded_blur_matrix(w, float(sigma), radius, dname)
+    x = img.astype(dtype)
+    y = jnp.einsum("ih,hwc->iwc", bh, x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("jw,iwc->ijc", bw, y,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(img.dtype)
+    return out[..., 0] if squeeze else out
+
+
+def gaussian_blur(img, sigma=2.0, method="shifts"):
+    """method: "matmul" uses the MXU banded-matmul path (opt-in: the current
+    TPU toolchain's fusion pass crashes compiling it inside the full frame —
+    jellyfish MainFusionOptimize SIGILL — so the default stays on the
+    shift-chain until that clears); "shifts" is the shift-chain."""
+    if method == "matmul":
+        return gaussian_blur_matmul(img, sigma)
     return _sep_conv(img, gaussian_kernel(sigma))
 
 

@@ -11,8 +11,8 @@ import numpy as np
 from d3d12renderer_tpu.audio.audio import AudioEngine, sine_synth
 from d3d12renderer_tpu.core import log as log_mod
 from d3d12renderer_tpu.core.profiling import (
-    export_chrome_trace, profile_block, profile_stat, resolve_frame,
-    time_device,
+    export_chrome_trace, kernel_report, profile_block, profile_kernels,
+    profile_stat, resolve_frame, time_device,
 )
 from d3d12renderer_tpu.utils.checkpoint import (
     CheckpointManager, load_pytree, nan_guard, save_pytree, tree_all_finite,
@@ -90,6 +90,29 @@ def test_nan_guard_rolls_back():
     s2, rolled2 = guarded(s1, jnp.nan)
     assert bool(rolled2)
     np.testing.assert_allclose(np.asarray(s2), 2.0)  # rolled back
+
+
+def test_kernel_report_roofline():
+    """Per-kernel device timing (reference: dx_query.h timestamp heaps +
+    dx_profiling.h:25 per-frame resolve): XLA cost analysis x measured
+    device time -> achieved GFLOP/s + utilization."""
+    a = jnp.ones((256, 256), jnp.float32)
+
+    rep = kernel_report(lambda x: x @ x, a, iters=5)
+    # 256^3 MACs = 2*256^3 = 33.5 MFLOP; cost analysis must be in that decade.
+    assert 1e7 < rep["flops"] < 1e8
+    assert rep["device_s_per_call"] > 0 and rep["compile_s"] > 0
+    assert rep["achieved_gflops"] > 0
+    assert 0 <= rep["flops_utilization"] <= 1.5  # never wildly super-peak
+    assert rep["platform"] in ("cpu", "tpu")
+
+    reports = profile_kernels({"matmul": (lambda x: x @ x, (a,)),
+                               "add": (lambda x: x + x, (a,))}, iters=3)
+    assert set(reports) == {"matmul", "add"}
+    # An elementwise add moves ~3 buffers and does ~1 flop/elem: it must be
+    # far more bandwidth-bound than the matmul.
+    assert (reports["add"]["achieved_gflops"]
+            < reports["matmul"]["achieved_gflops"])
 
 
 def test_audio_engine_events():

@@ -133,6 +133,23 @@ def test_post_stack_functions():
     assert float(out.max()) <= 0.5
 
 
+def test_gaussian_blur_matmul_matches_shift_chain():
+    """The MXU banded-matmul blur must match the shift-chain convolution
+    (same edge clamping) to bf16 resolution, and exactly in f32."""
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(key, (160, 130, 3))
+    ref = post.gaussian_blur(img, sigma=2.0, method="shifts")
+    mm16 = post.gaussian_blur_matmul(img, sigma=2.0)
+    assert float(jnp.max(jnp.abs(mm16 - ref))) < 1.5e-2
+    mm32 = post.gaussian_blur_matmul(img, sigma=2.0, dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(mm32 - ref))) < 1e-5
+    # 2D (no channel axis) path + the method switch.
+    g = img[..., 0]
+    assert post.gaussian_blur_matmul(g, sigma=1.5).shape == g.shape
+    forced = post.gaussian_blur(img, sigma=2.0, method="matmul")
+    assert float(jnp.max(jnp.abs(forced - ref))) < 1.5e-2
+
+
 def test_hbao_darkens_creases(scene, cam, gb):
     ao = jax.jit(lambda: post.hbao(gb.view_pos, gb.view_normal))()
     ao = np.asarray(ao)
