@@ -122,6 +122,11 @@ class PathTracerSettings:
     light_intensity_scale: float = struct.field(pytree_node=False, default=1.0)
     multiple_importance_sampling: bool = struct.field(pytree_node=False, default=True)
     max_traversal_steps: int = struct.field(pytree_node=False, default=512)
+    # Re-sort secondary rays by (direction octant, origin Morton cell) before
+    # each bounce so ray blocks stay spatially coherent for the cluster-culled
+    # kernel (primary rays are already tile-ordered; bounces scatter).  Off by
+    # default: pays an argsort per bounce, worth it on big scenes on TPU.
+    sort_bounce_rays: bool = struct.field(pytree_node=False, default=False)
 
 
 def default_sky(sun_direction=(-0.6, 0.8, -0.3)) -> Sky:
@@ -253,6 +258,29 @@ def _sample_sun(key, sky: Sky):
             + sky.sun_direction * cos_t)
 
 
+def _spread5(x):
+    """Spread the low 5 bits of x to every 3rd bit (Morton interleave)."""
+    x = (x | (x << 8)) & 0x100F
+    x = (x | (x << 4)) & 0x10C3
+    x = (x | (x << 2)) & 0x1249
+    return x
+
+
+def _bounce_sort_perm(o, d, lo, hi):
+    """Sort order for secondary rays: direction octant (3 bits) then a
+    5-bit/axis Morton code of the origin inside the scene AABB.  Rays in the
+    same octant+cell land in the same 1024-ray kernel block, so the per-block
+    cluster culling prunes like it does for primary tiles."""
+    oct_ = ((d[:, 0] > 0).astype(jnp.uint32) * 4
+            + (d[:, 1] > 0).astype(jnp.uint32) * 2
+            + (d[:, 2] > 0).astype(jnp.uint32))
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0,
+                 0.0, 31.0).astype(jnp.uint32)
+    morton = ((_spread5(q[:, 0]) << 2) | (_spread5(q[:, 1]) << 1)
+              | _spread5(q[:, 2]))
+    return jnp.argsort((oct_ << 15) | morton)
+
+
 def trace_sample(scene: Scene, settings: PathTracerSettings,
                  origin, direction, key):
     """One radiance sample per ray.  origin/direction (R, 3)."""
@@ -261,8 +289,19 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
     throughput = jnp.ones((r, 3))
     alive = jnp.ones((r,), bool)
     o, d = origin, direction
+    # Row -> original-pixel mapping, updated when bounce rays are re-sorted.
+    order = jnp.arange(r)
+    if settings.sort_bounce_rays:
+        # Scene AABB = the BVH root node's bounds.
+        scene_lo = scene.bvh.node_min[0]
+        scene_hi = scene.bvh.node_max[0]
 
     for bounce in range(settings.recursion_depth + 1):
+        if settings.sort_bounce_rays and bounce > 0:
+            perm = _bounce_sort_perm(o, d, scene_lo, scene_hi)
+            o, d = o[perm], d[perm]
+            radiance, throughput = radiance[perm], throughput[perm]
+            alive, order = alive[perm], order[perm]
         key, k_hit, k_rr, k_sun = jax.random.split(key, 4)
         res = bvh_mod.closest_hit(
             scene.bvh, o, d, max_steps=settings.max_traversal_steps
@@ -336,6 +375,8 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             throughput = throughput / q[:, None]
             alive = alive & survive
 
+    if settings.sort_bounce_rays:
+        radiance = jnp.zeros((r, 3)).at[order].set(radiance)
     return radiance
 
 

@@ -150,9 +150,20 @@ def render_frame(
     """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
 
     aux exposes intermediate targets for inspection like the reference editor
-    panels (editor.h:45-51): ao, shadow, ssr confidence, gbuffer."""
+    panels (editor.h:45-51): ao, shadow, ssr confidence, gbuffer.
+
+    Pass boundaries are optimization_barrier fences (the analog of the
+    reference's per-pass resource barriers, dx_barrier_batcher.h:9): XLA's
+    TPU priority-fusion cost model recurses over producer chains and
+    stack-overflows on the whole-frame graph (jellyfish
+    TpuPriorityFusionQueue::NormalizedComputationCost SIGILL); fencing each
+    pass caps chain depth at one pass, exactly how the reference's command
+    list splits the frame."""
+    fence = jax.lax.optimization_barrier
+
     gb = render_gbuffer(scene, camera, width, height, prev_camera=prev_camera,
                         jitter_key=key)
+    gb = fence(gb)
 
     # --- decal projection into the G-buffer --------------------------------
     # (reference: tiled decal culling + projection in the opaque pass.)
@@ -212,6 +223,7 @@ def render_frame(
         lit = lit * sss
 
     # --- opaque lighting ---------------------------------------------------
+    lit, ao = fence((lit, ao))
     v = m.noz(camera.position - gb.world_pos)
     sun_l = -sun_dir
     f_sun = eval_brdf_pixel(gb.normal, v, jnp.broadcast_to(sun_l, gb.normal.shape),
@@ -247,6 +259,8 @@ def render_frame(
     if spot_lights is not None:
         color = color + shade_spot_lights(gb, spot_lights, camera,
                                           shadow_maps=spot_shadow_maps)
+
+    color = fence(color)
 
     # --- reflections: SSR resolve, RT rays filling SSR misses ---------------
     # (reference: SSR | RT-reflections selection in main_renderer.cpp:439-470;
@@ -288,6 +302,7 @@ def render_frame(
             color = color + refl * conf[..., None] * f0
 
     # --- sky for misses ------------------------------------------------------
+    color = fence(color)
     d = m.noz(gb.world_pos - camera.position)
     sky = sky_radiance(scene.sky, d.reshape(-1, 3)).reshape(height, width, 3)
     color = jnp.where(gb.hit[..., None], color, sky)
@@ -307,6 +322,7 @@ def render_frame(
                            water_height=water_height, time=time)
 
     # --- TAA ------------------------------------------------------------------
+    color = fence(color)
     if frame_state is not None:
         first_frame = frame_state.frame_index == 0
         if settings.enable_taa:
@@ -320,6 +336,7 @@ def render_frame(
         new_state = frame_state
 
     # --- bloom / tonemap / sharpen -------------------------------------------
+    color = fence(color)
     if settings.enable_bloom:
         color = post.bloom(color, settings.bloom)
     ldr = post.tonemap_uncharted2(color, settings.tonemap)

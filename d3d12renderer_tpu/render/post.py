@@ -313,10 +313,14 @@ def screen_space_shadows(view_pos, sun_dir_view, depth,
     """Returns (H,W) shadow factor in [0,1] (1 = lit)."""
     h, w, _ = view_pos.shape
     step = settings.ray_distance / settings.num_steps
-    shadow = jnp.ones((h, w))
     cam_dist = -view_pos[..., 2]
-    for s in range(1, settings.num_steps + 1):
-        p = view_pos + sun_dir_view * (s * step)
+
+    # lax.fori_loop (not an unrolled Python loop): keeps the HLO graph and
+    # XLA's fusion-cost producer chains O(1) in num_steps — the unrolled
+    # version overflowed the TPU fusion pass on whole-frame graphs.
+    def march(s_i, shadow):
+        s = s_i + 1
+        p = view_pos + sun_dir_view * (s.astype(jnp.float32) * step)
         # Project: perspective divide into pixel space.
         u = p[..., 0] / jnp.maximum(-p[..., 2], 1e-4)
         v = p[..., 1] / jnp.maximum(-p[..., 2], 1e-4)
@@ -332,7 +336,9 @@ def screen_space_shadows(view_pos, sun_dir_view, depth,
         scene_z = -view_pos[yy, xx, 2]
         ray_z = -p[..., 2]
         blocked = (ray_z - scene_z > 0.01) & (ray_z - scene_z < settings.thickness * 40)
-        shadow = jnp.where(blocked, jnp.minimum(shadow, 0.0), shadow)
+        return jnp.where(blocked, jnp.minimum(shadow, 0.0), shadow)
+
+    shadow = jax.lax.fori_loop(0, settings.num_steps, march, jnp.ones((h, w)))
     fade = jnp.clip(
         (settings.max_distance_from_camera - cam_dist)
         / settings.distance_fadeout_range, 0.0, 1.0,
@@ -355,10 +361,12 @@ def ssr(color, view_pos, normal, roughness,
     refl = view_dir - 2 * jnp.sum(view_dir * normal, -1, keepdims=True) * normal
 
     step_len = 0.15
-    hit_col = jnp.zeros((h, w, 3))
-    hit_conf = jnp.zeros((h, w))
-    found = jnp.zeros((h, w), bool)
-    for s in range(1, settings.num_steps + 1):
+
+    # lax.fori_loop for the same reason as screen_space_shadows: bounded
+    # graph size + fusion-chain depth regardless of num_steps.
+    def march(s_i, carry):
+        hit_col, hit_conf, found = carry
+        s = (s_i + 1).astype(jnp.float32)
         p = view_pos + refl * (s * step_len)
         # Project into pixel coordinates (symmetric frustum assumption).
         z = jnp.maximum(-p[..., 2], 1e-4)
@@ -374,7 +382,12 @@ def ssr(color, view_pos, normal, roughness,
         edge = jnp.minimum(jnp.minimum(u, 1 - u), jnp.minimum(v, 1 - v))
         conf = jnp.clip(edge * 8, 0, 1) * (1.0 - roughness)
         hit_conf = jnp.where(hit, conf, hit_conf)
-        found = found | hit
+        return hit_col, hit_conf, found | hit
+
+    hit_col, hit_conf, _ = jax.lax.fori_loop(
+        0, settings.num_steps, march,
+        (jnp.zeros((h, w, 3)), jnp.zeros((h, w)), jnp.zeros((h, w), bool)),
+    )
     return hit_col, hit_conf * settings.strength
 
 
@@ -413,7 +426,9 @@ def bloom(color, settings: BloomSettings = BloomSettings()):
     levels = []
     x = bright
     for _ in range(settings.levels):
-        x = downsample2(gaussian_blur(x, 1.5))
+        # Fence each pyramid level: the stacked blur shift-chains otherwise
+        # form one deep producer chain that overflows the TPU fusion pass.
+        x = jax.lax.optimization_barrier(downsample2(gaussian_blur(x, 1.5)))
         levels.append(x)
     acc = jnp.zeros_like(color)
     for lv in levels:
@@ -439,6 +454,11 @@ def tonemap_uncharted2(x, s: TonemapSettings = TonemapSettings()):
 # --------------------------------------------------------------------------
 
 def sharpen(color, settings: SharpenSettings = SharpenSettings()):
+    # Barrier first: `color` fans out into the 14-tap blur AND the residual,
+    # and the TPU fusion pass's cost recursion is exponential in DAG path
+    # count — tonemap's fan-outs times this one overflow its stack
+    # (jellyfish TpuPriorityFusionQueue::NormalizedComputationCost SIGILL).
+    color = jax.lax.optimization_barrier(color)
     blur = gaussian_blur(color, 1.0)
     return jnp.clip(color + settings.strength * (color - blur), 0.0, None)
 
