@@ -32,6 +32,21 @@ def normalize(a, eps=1e-12):
     return a / jnp.maximum(length(a), eps)[..., None]
 
 
+def roll2(x, dy, dx):
+    """2-D image roll that SKIPS zero components.
+
+    jnp.roll with a static shift of 0 still lowers to concat(slice[0:0],
+    slice[0:n]) — a zero-sized tensor.  The current TPU toolchain's fusion
+    cost model (jellyfish TpuPriorityFusionQueue::NormalizedComputationCost)
+    traps (SIGILL) on zero-sized operands, so every static-shift roll in the
+    frame must go through this."""
+    if dy:
+        x = jnp.roll(x, dy, 0)
+    if dx:
+        x = jnp.roll(x, dx, 1)
+    return x
+
+
 def noz(a, eps_sq=1e-8):
     """Normalize-or-zero (reference: src/core/math.h:595)."""
     sl = squared_length(a)

@@ -103,13 +103,12 @@ def object_outlines(object_id, thickness=1):
     reference: outline.h marker stencil + dilate)."""
     edges = jnp.zeros(object_id.shape, bool)
     for dy, dx in ((0, 1), (1, 0)):
-        shifted = jnp.roll(object_id, (dy, dx), (0, 1))
-        edges = edges | (shifted != object_id)
+        edges = edges | (m.roll2(object_id, dy, dx) != object_id)
     for _ in range(thickness - 1):
         acc = edges
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                acc = acc | jnp.roll(edges, (dy, dx), (0, 1))
+                acc = acc | m.roll2(edges, dy, dx)
         edges = acc
     return edges
 
@@ -120,5 +119,5 @@ def draw_outlines(image, object_id, selected_id, color=(1.0, 0.6, 0.1)):
     mask = object_id == selected_id
     edge = jnp.zeros_like(mask)
     for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
-        edge = edge | (mask != jnp.roll(mask, (dy, dx), (0, 1)))
+        edge = edge | (mask != m.roll2(mask, dy, dx))
     return jnp.where(edge[..., None], jnp.asarray(color, image.dtype), image)

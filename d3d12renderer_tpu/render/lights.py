@@ -67,8 +67,13 @@ def cull_lights_tiled(gbuffer_view_pos, lights: PointLights,
     h, w, _ = gbuffer_view_pos.shape
     ty, tx = -(-h // TILE_SIZE), -(-w // TILE_SIZE)
     pad_h, pad_w = ty * TILE_SIZE - h, tx * TILE_SIZE - w
-    vp = jnp.pad(gbuffer_view_pos, ((0, pad_h), (0, pad_w), (0, 0)),
-                 mode="edge")
+    # Guard the pad: edge-mode jnp.pad with zero widths lowers to concats of
+    # ZERO-SIZED slices, which trap the TPU fusion cost model (maths.roll2).
+    if pad_h or pad_w:
+        vp = jnp.pad(gbuffer_view_pos, ((0, pad_h), (0, pad_w), (0, 0)),
+                     mode="edge")
+    else:
+        vp = gbuffer_view_pos
     tiles = vp.reshape(ty, TILE_SIZE, tx, TILE_SIZE, 3).transpose(0, 2, 1, 3, 4)
     tiles = tiles.reshape(ty, tx, -1, 3)
     # Ignore sky pixels (|z| huge) when bounding.

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..core.maths import roll2 as _roll2
+
 
 # --------------------------------------------------------------------------
 # Settings (reference: render_algorithms.h:23-118)
@@ -178,8 +180,7 @@ def _minmax_filter(img, size, op):
     acc = img
     for dy in shifts:
         for dx in shifts:
-            r = jnp.roll(jnp.roll(img, dy, 0), dx, 1)
-            acc = op(acc, r)
+            acc = op(acc, _roll2(img, dy, dx))
     return acc
 
 
@@ -263,7 +264,7 @@ def temporal_accumulate(current, history, motion, blend=0.85, first=None):
     nmin, nmax = current, current
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            r = jnp.roll(jnp.roll(current, dy, 0), dx, 1)
+            r = _roll2(current, dy, dx)
             nmin = jnp.minimum(nmin, r)
             nmax = jnp.maximum(nmax, r)
     hist = jnp.clip(hist, nmin, nmax)
@@ -291,7 +292,7 @@ def hbao(view_pos, normal, settings: HBAOSettings = HBAOSettings(), key=None):
         for s in range(1, settings.max_steps_per_ray + 1):
             dy = int(round(dxy[1] * s * 2))
             dx = int(round(dxy[0] * s * 2))
-            sample = jnp.roll(jnp.roll(view_pos, -dy, 0), -dx, 1)
+            sample = _roll2(view_pos, -dy, -dx)
             delta = sample - view_pos
             dist = jnp.linalg.norm(delta + 1e-9, axis=-1)
             sin_h = jnp.sum(delta * normal, -1) / jnp.maximum(dist, 1e-6)
@@ -410,7 +411,7 @@ def taa(current, history, motion, settings: TAASettings = TAASettings()):
     nmax = current
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            r = jnp.roll(jnp.roll(current, dy, 0), dx, 1)
+            r = _roll2(current, dy, dx)
             nmin = jnp.minimum(nmin, r)
             nmax = jnp.maximum(nmax, r)
     hist = jnp.clip(hist, nmin, nmax)

@@ -14,7 +14,19 @@ parser.add_argument("--size", type=int, default=512)
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="frame.png")
 parser.add_argument("--frames", type=int, default=4)
+parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"],
+                    help="default: per_pass on axon (the current TPU "
+                         "toolchain's fusion pass crashes on the fused "
+                         "whole-frame module), fused elsewhere")
+parser.add_argument("--backend", default=None, choices=["dense", "pallas"],
+                    help="ray backend; default pallas on axon (the Mosaic "
+                         "kernel sidesteps the XLA traversal graph and is "
+                         "the fast path), dense elsewhere")
 args = parser.parse_args()
+if args.dispatch is None:
+    args.dispatch = "per_pass" if args.platform == "axon" else "fused"
+if args.backend is None:
+    args.backend = "pallas" if args.platform == "axon" else "dense"
 
 import jax
 
@@ -24,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3d12renderer_tpu.render import bvh as bvh_mod
+
+bvh_mod.set_ray_backend(args.backend)
 from d3d12renderer_tpu.render import mesh as mesh_mod
 from d3d12renderer_tpu.render.camera import look_at
 from d3d12renderer_tpu.render.lights import make_point_lights
@@ -57,9 +71,15 @@ lights = make_point_lights([[2.5, 2.0, 2.5], [-3.0, 1.5, -1.0]],
                            [8.0, 8.0])
 
 state = initial_frame_state(args.size, args.size)
-fn = jax.jit(lambda st, k: render_frame_with_shadows(
-    scene, cam, args.size, args.size, RendererSettings(),
-    shadow_resolution=512, point_lights=lights, frame_state=st, key=k))
+if args.dispatch == "per_pass":
+    fn = lambda st, k: render_frame_with_shadows(
+        scene, cam, args.size, args.size, RendererSettings(),
+        shadow_resolution=512, point_lights=lights, frame_state=st, key=k,
+        dispatch="per_pass")
+else:
+    fn = jax.jit(lambda st, k: render_frame_with_shadows(
+        scene, cam, args.size, args.size, RendererSettings(),
+        shadow_resolution=512, point_lights=lights, frame_state=st, key=k))
 
 t0 = time.time()
 ldr, state, aux = fn(state, jax.random.PRNGKey(0))

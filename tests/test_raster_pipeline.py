@@ -176,6 +176,26 @@ def test_full_frame_renders(scene, cam):
     assert img.std() > 0.05  # actual content
 
 
+def test_per_pass_dispatch_matches_fused(scene, cam):
+    """dispatch='per_pass' (each stage its own jit program — the workaround
+    for the TPU toolchain's whole-frame fusion-pass crash) must be
+    numerically identical to the fused frame."""
+    lights = make_point_lights(
+        [[2.0, 1.5, 2.0]], [[20.0, 5.0, 5.0]], [6.0])
+    state0 = initial_frame_state(W, H)
+    k = jax.random.PRNGKey(0)
+    fused = jax.jit(lambda st, kk: render_frame_with_shadows(
+        scene, cam, W, H, RendererSettings(), shadow_resolution=128,
+        point_lights=lights, frame_state=st, key=kk))
+    ldr_f, state_f, _ = fused(state0, k)
+    ldr_p, state_p, _ = render_frame_with_shadows(
+        scene, cam, W, H, RendererSettings(), shadow_resolution=128,
+        point_lights=lights, frame_state=state0, key=k, dispatch="per_pass")
+    np.testing.assert_allclose(np.asarray(ldr_p), np.asarray(ldr_f),
+                               atol=2e-5)
+    assert int(state_p.frame_index) == int(state_f.frame_index) == 1
+
+
 @pytest.mark.slow
 def test_ibl_sh_and_brdf_lut():
     # Constant white environment -> irradiance ~ pi-normalized constant.
