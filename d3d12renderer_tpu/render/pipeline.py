@@ -127,6 +127,235 @@ def initial_frame_state(width: int, height: int) -> FrameState:
     )
 
 
+# ---------------------------------------------------------------------------
+# Frame stages.  Module level with explicit arguments so the per-pass jits
+# have STABLE function identity: frame 2+ hits the in-process jit cache
+# instead of retracing (closures rebuilt per call would miss every frame).
+# `settings`/width/height are static jit args (RendererSettings is a frozen
+# hashable struct); everything frame-varying is a pytree argument.
+# ---------------------------------------------------------------------------
+
+
+def _pass_fn(static=("settings", "width", "height")):
+    def deco(fn):
+        fn._jit = jax.jit(fn, static_argnames=static)
+        return fn
+    return deco
+
+
+def _half_ctx(gb, frame_state):
+    vp_low = post.downsample2(gb.view_pos)
+    n_low = m.noz(post.downsample2(gb.view_normal))
+    depth_full = jnp.abs(gb.view_pos[..., 2])
+    depth_low = jnp.abs(vp_low[..., 2])
+    motion_low = post.downsample2(gb.motion) * 0.5
+    first = (frame_state.frame_index == 0) if frame_state is not None \
+        else None
+    return vp_low, n_low, depth_full, depth_low, motion_low, first
+
+
+@_pass_fn()
+def _stage_gbuffer(scene, camera, prev_camera, decals, key, *, settings,
+                   width, height):
+    gb = render_gbuffer(scene, camera, width, height,
+                        prev_camera=prev_camera, jitter_key=key)
+    # Decal projection into the G-buffer (reference: tiled decal culling +
+    # projection in the opaque pass).
+    if decals is not None:
+        from .decals import apply_decals
+        gb = apply_decals(gb, decals)
+    return gb
+
+
+@_pass_fn()
+def _stage_effects(scene, camera, shadow_maps, gb, frame_state, key, *,
+                   settings, width, height):
+    """Sun shadow term + AO + contact shadows.  Half-res path (reference
+    default): compute at H/2 x W/2, temporally accumulate against the
+    motion-reprojected history, then bilateral depth-aware upsample
+    (main_renderer.cpp:78,91)."""
+    half = settings.half_res_effects
+    sun_dir = -scene.sky.sun_direction
+    hist_updates = {}
+    if settings.enable_shadows and shadow_maps is not None:
+        lit, _ = sample_sun_shadow(shadow_maps, gb.world_pos)
+    else:
+        lit = jnp.ones((height, width))
+    if half:
+        (vp_low, n_low, depth_full, depth_low, motion_low,
+         first) = _half_ctx(gb, frame_state)
+
+    if settings.enable_ao:
+        if half:
+            ao_low = post.hbao(vp_low, n_low, settings.hbao, key=key)
+            if frame_state is not None and frame_state.ao_history is not None:
+                ao_low = post.temporal_accumulate(
+                    ao_low, frame_state.ao_history, motion_low, first=first)
+                hist_updates["ao_history"] = ao_low
+            ao = post.bilateral_upsample(ao_low, depth_low, depth_full)
+        else:
+            ao = post.hbao(gb.view_pos, gb.view_normal, settings.hbao,
+                           key=key)
+    else:
+        ao = jnp.ones((height, width))
+
+    if settings.enable_sss:
+        sun_view = m.quat_inv_rotate(camera.rotation, -sun_dir)
+        if half:
+            sss_low = post.screen_space_shadows(
+                vp_low, sun_view, depth_low, settings.sss)
+            if frame_state is not None and frame_state.sss_history is not None:
+                sss_low = post.temporal_accumulate(
+                    sss_low, frame_state.sss_history, motion_low, first=first)
+                hist_updates["sss_history"] = sss_low
+            sss = post.bilateral_upsample(sss_low, depth_low, depth_full)
+        else:
+            sss = post.screen_space_shadows(gb.view_pos, sun_view,
+                                            gb.depth, settings.sss)
+        lit = lit * sss
+    return lit, ao, hist_updates
+
+
+@_pass_fn()
+def _stage_opaque(scene, camera, gb, lit, ao, point_lights,
+                  point_shadow_maps, spot_lights, spot_shadow_maps,
+                  probe_grid, *, settings, width, height):
+    sun_dir = -scene.sky.sun_direction
+    v = m.noz(camera.position - gb.world_pos)
+    sun_l = -sun_dir
+    f_sun = eval_brdf_pixel(gb.normal, v,
+                            jnp.broadcast_to(sun_l, gb.normal.shape),
+                            gb.albedo, gb.roughness, gb.metallic)
+    sun_radiance = scene.sky.sun_radiance * 0.05  # disc -> irradiance
+    color = f_sun * sun_radiance * lit[..., None]
+
+    # Ambient: DDGI probe-grid irradiance when a grid is supplied
+    # (reference: opaque-pass ambient sampling of the probe atlases,
+    # main_renderer.cpp:917-925 + light_probe.hlsli); sky-tinted hemisphere
+    # fallback otherwise (IBL path available via ibl.py).
+    if probe_grid is not None:
+        from .light_probe import sample_irradiance
+        ambient = sample_irradiance(probe_grid, gb.world_pos, gb.normal)
+    else:
+        up = jnp.clip(gb.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+        ambient = (scene.sky.horizon * (1 - up) + scene.sky.zenith * up)
+    color = color + gb.albedo * ambient * settings.ambient_strength \
+        * ao[..., None]
+    color = color + gb.emissive
+
+    if point_lights is not None:
+        if point_shadow_maps is not None:
+            # Shadow-casting point lights shade per light with dual-
+            # hemisphere sampling (reference: point_shadow_info path).
+            from .lights import shade_point_lights_shadowed
+            color = color + shade_point_lights_shadowed(
+                gb, point_lights, camera, point_shadow_maps)
+        else:
+            tile_lists, _ = cull_lights_tiled(gb.view_pos, point_lights,
+                                              camera, width, height)
+            color = color + shade_point_lights(gb, point_lights,
+                                               tile_lists, camera)
+    if spot_lights is not None:
+        color = color + shade_spot_lights(gb, spot_lights, camera,
+                                          shadow_maps=spot_shadow_maps)
+    return color, ambient
+
+
+@_pass_fn(static=("settings",))
+def _stage_reflections(scene, camera, color, gb, frame_state, *, settings):
+    """SSR resolve with RT rays filling SSR misses (reference: SSR |
+    RT-reflections selection in main_renderer.cpp:439-470; here both can
+    run — RT radiance replaces the reflection where the screen-space march
+    found no confidence)."""
+    half = settings.half_res_effects
+    hist2 = {}
+    rt_refl = None
+    if settings.enable_rt_reflections:
+        rt_refl, rt_mask = rt_reflections(scene, gb, camera)
+    if settings.enable_ssr or rt_refl is not None:
+        f0 = 0.04 * (1 - gb.metallic[..., None]) \
+            + gb.albedo * gb.metallic[..., None]
+        if settings.enable_ssr:
+            if half:
+                (vp_low, n_low, depth_full, depth_low, motion_low,
+                 first) = _half_ctx(gb, frame_state)
+                refl_low, conf_low = post.ssr(
+                    post.downsample2(color), vp_low, n_low,
+                    post.downsample2(gb.roughness), settings.ssr)
+                if (frame_state is not None
+                        and frame_state.ssr_history is not None):
+                    refl_low = post.temporal_accumulate(
+                        refl_low, frame_state.ssr_history, motion_low,
+                        first=first)
+                    conf_low = post.temporal_accumulate(
+                        conf_low, frame_state.ssr_conf_history,
+                        motion_low, first=first)
+                    hist2["ssr_history"] = refl_low
+                    hist2["ssr_conf_history"] = conf_low
+                refl = post.bilateral_upsample(refl_low, depth_low,
+                                               depth_full)
+                conf = post.bilateral_upsample(conf_low, depth_low,
+                                               depth_full)
+            else:
+                refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
+                                      gb.roughness, settings.ssr)
+        else:
+            refl = jnp.zeros_like(color)
+            conf = jnp.zeros(color.shape[:-1])
+        if rt_refl is not None:
+            refl = refl * conf[..., None] \
+                + rt_refl * (1.0 - conf[..., None]) * rt_mask[..., None]
+            color = color + refl * f0
+        else:
+            color = color + refl * conf[..., None] * f0
+    return color, rt_refl, hist2
+
+
+@_pass_fn()
+def _stage_compose(scene, camera, color, gb, transparent_objects,
+                   water_height, time, *, settings, width, height):
+    """Sky for misses, then transparent pass + water (reference:
+    transparent_render_pass, render_pass.h:100 — depth-keyed sort after
+    opaque, before TAA)."""
+    d = m.noz(gb.world_pos - camera.position)
+    sky = sky_radiance(scene.sky, d.reshape(-1, 3)).reshape(height, width, 3)
+    color = jnp.where(gb.hit[..., None], color, sky)
+    if transparent_objects:
+        from .transparent import transparent_pass
+        color = transparent_pass(color, gb, camera, transparent_objects,
+                                 sky=scene.sky)
+    if water_height is not None:
+        from .water_pass import water_pass
+        color = water_pass(color, gb, camera, scene.sky,
+                           water_height=water_height, time=time)
+    return color
+
+
+@_pass_fn(static=("settings",))
+def _stage_taa(color, gb, frame_state, hist_updates, *, settings):
+    if frame_state is None:
+        return color, frame_state
+    first_frame = frame_state.frame_index == 0
+    if settings.enable_taa:
+        blended = post.taa(color, frame_state.history, gb.motion,
+                           settings.taa)
+        color = jnp.where(first_frame, color, blended)
+    new_state = frame_state.replace(
+        history=color, frame_index=frame_state.frame_index + 1,
+        **hist_updates)
+    return color, new_state
+
+
+@_pass_fn(static=("settings",))
+def _stage_post(color, *, settings):
+    if settings.enable_bloom:
+        color = post.bloom(color, settings.bloom)
+    ldr = post.tonemap_uncharted2(color, settings.tonemap)
+    if settings.enable_sharpen:
+        ldr = post.sharpen(ldr, settings.sharpen)
+    return ldr
+
+
 def render_frame(
     scene: Scene,
     camera: Camera,
@@ -166,237 +395,41 @@ def render_frame(
       TpuPriorityFusionQueue::NormalizedComputationCost on it) — several
       small modules compile where one frame-sized one dies, at ~1-2 ms
       dispatch cost per stage."""
-    fence = jax.lax.optimization_barrier
     per_pass = dispatch == "per_pass"
+    fence = jax.lax.optimization_barrier
 
-    def _run(fn, *args):
-        """Run a pass either inline (fused single program) or as its own jit
-        dispatch.  Per-pass mode compiles several small modules instead of
-        one frame-sized one — the persistent compilation cache makes the
-        repeated jax.jit of fresh closures cheap after the first frame."""
+    def _run(fn, *args, **static_kw):
+        """Run a stage inline (fused: one traced program) or as its own jit
+        dispatch (per_pass).  Stages are module-level functions, so the
+        per-pass jit cache is hit on every frame after the first."""
         if per_pass:
-            return jax.jit(fn)(*args)
-        return fn(*args)
+            return fn._jit(*args, **static_kw)
+        return fn(*args, **static_kw)
 
-    half = settings.half_res_effects
-    sun_dir = -scene.sky.sun_direction  # direction light travels
-
-    def _half_ctx(gb):
-        vp_low = post.downsample2(gb.view_pos)
-        n_low = m.noz(post.downsample2(gb.view_normal))
-        depth_full = jnp.abs(gb.view_pos[..., 2])
-        depth_low = jnp.abs(vp_low[..., 2])
-        motion_low = post.downsample2(gb.motion) * 0.5
-        first = (frame_state.frame_index == 0) if frame_state is not None \
-            else None
-        return vp_low, n_low, depth_full, depth_low, motion_low, first
-
-    # --- stage 1: G-buffer + decals ----------------------------------------
-    def _s1_gbuffer(frame_key):
-        gb = render_gbuffer(scene, camera, width, height,
-                            prev_camera=prev_camera, jitter_key=frame_key)
-        if decals is not None:
-            from .decals import apply_decals
-            gb = apply_decals(gb, decals)
-        return gb
-
-    gb = fence(_run(_s1_gbuffer, key))
-
-    # --- stage 2: sun shadow term + AO + contact shadows -------------------
-    # Half-res path (reference default): compute at H/2 x W/2, temporally
-    # accumulate against the motion-reprojected history, then bilateral
-    # depth-aware upsample (main_renderer.cpp:78,91).
-    def _s2_effects(gb, frame_state, frame_key):
-        hist_updates = {}
-        if settings.enable_shadows and shadow_maps is not None:
-            lit, _ = sample_sun_shadow(shadow_maps, gb.world_pos)
-        else:
-            lit = jnp.ones((height, width))
-        if half:
-            (vp_low, n_low, depth_full, depth_low, motion_low,
-             first) = _half_ctx(gb)
-
-        if settings.enable_ao:
-            if half:
-                ao_low = post.hbao(vp_low, n_low, settings.hbao, key=frame_key)
-                if frame_state is not None and frame_state.ao_history is not None:
-                    ao_low = post.temporal_accumulate(
-                        ao_low, frame_state.ao_history, motion_low, first=first)
-                    hist_updates["ao_history"] = ao_low
-                ao = post.bilateral_upsample(ao_low, depth_low, depth_full)
-            else:
-                ao = post.hbao(gb.view_pos, gb.view_normal, settings.hbao,
-                               key=frame_key)
-        else:
-            ao = jnp.ones((height, width))
-
-        if settings.enable_sss:
-            sun_view = m.quat_inv_rotate(camera.rotation, -sun_dir)
-            if half:
-                sss_low = post.screen_space_shadows(
-                    vp_low, sun_view, depth_low, settings.sss)
-                if (frame_state is not None
-                        and frame_state.sss_history is not None):
-                    sss_low = post.temporal_accumulate(
-                        sss_low, frame_state.sss_history, motion_low,
-                        first=first)
-                    hist_updates["sss_history"] = sss_low
-                sss = post.bilateral_upsample(sss_low, depth_low, depth_full)
-            else:
-                sss = post.screen_space_shadows(gb.view_pos, sun_view,
-                                                gb.depth, settings.sss)
-            lit = lit * sss
-        return lit, ao, hist_updates
-
-    lit, ao, hist_updates = _run(_s2_effects, gb, frame_state, key)
-
-    # --- stage 3: opaque lighting ------------------------------------------
+    time = jnp.asarray(time, jnp.float32)
+    gb = fence(_run(_stage_gbuffer, scene, camera, prev_camera, decals, key,
+                    settings=settings, width=width, height=height))
+    lit, ao, hist_updates = _run(
+        _stage_effects, scene, camera, shadow_maps, gb, frame_state, key,
+        settings=settings, width=width, height=height)
     lit, ao = fence((lit, ao))
-
-    def _s3_opaque(gb, lit, ao):
-        v = m.noz(camera.position - gb.world_pos)
-        sun_l = -sun_dir
-        f_sun = eval_brdf_pixel(gb.normal, v,
-                                jnp.broadcast_to(sun_l, gb.normal.shape),
-                                gb.albedo, gb.roughness, gb.metallic)
-        sun_radiance = scene.sky.sun_radiance * 0.05  # disc -> irradiance
-        color = f_sun * sun_radiance * lit[..., None]
-
-        # Ambient: DDGI probe-grid irradiance when a grid is supplied
-        # (reference: opaque-pass ambient sampling of the probe atlases,
-        # main_renderer.cpp:917-925 + light_probe.hlsli); sky-tinted
-        # hemisphere fallback otherwise (IBL path available via ibl.py).
-        if probe_grid is not None:
-            from .light_probe import sample_irradiance
-            ambient = sample_irradiance(probe_grid, gb.world_pos, gb.normal)
-        else:
-            up = jnp.clip(gb.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
-            ambient = (scene.sky.horizon * (1 - up) + scene.sky.zenith * up)
-        color = color + gb.albedo * ambient * settings.ambient_strength \
-            * ao[..., None]
-        color = color + gb.emissive
-
-        if point_lights is not None:
-            if point_shadow_maps is not None:
-                # Shadow-casting point lights shade per light with dual-
-                # hemisphere sampling (reference: point_shadow_info path).
-                from .lights import shade_point_lights_shadowed
-                color = color + shade_point_lights_shadowed(
-                    gb, point_lights, camera, point_shadow_maps)
-            else:
-                tile_lists, _ = cull_lights_tiled(gb.view_pos, point_lights,
-                                                  camera, width, height)
-                color = color + shade_point_lights(gb, point_lights,
-                                                   tile_lists, camera)
-        if spot_lights is not None:
-            color = color + shade_spot_lights(gb, spot_lights, camera,
-                                              shadow_maps=spot_shadow_maps)
-        return color, ambient
-
-    color, ambient = _run(_s3_opaque, gb, lit, ao)
+    color, ambient = _run(
+        _stage_opaque, scene, camera, gb, lit, ao, point_lights,
+        point_shadow_maps, spot_lights, spot_shadow_maps, probe_grid,
+        settings=settings, width=width, height=height)
     color = fence(color)
-
-    # --- stage 4: reflections: SSR resolve, RT rays filling SSR misses ------
-    # (reference: SSR | RT-reflections selection in main_renderer.cpp:439-470;
-    #  here both can run — RT radiance replaces the reflection where the
-    #  screen-space march had no confidence.)
-    def _s4_reflections(color, gb, frame_state):
-        hist2 = {}
-        rt_refl = None
-        if settings.enable_rt_reflections:
-            rt_refl, rt_mask = rt_reflections(scene, gb, camera)
-        if settings.enable_ssr or rt_refl is not None:
-            f0 = 0.04 * (1 - gb.metallic[..., None]) \
-                + gb.albedo * gb.metallic[..., None]
-            if settings.enable_ssr:
-                if half:
-                    (vp_low, n_low, depth_full, depth_low, motion_low,
-                     first) = _half_ctx(gb)
-                    refl_low, conf_low = post.ssr(
-                        post.downsample2(color), vp_low, n_low,
-                        post.downsample2(gb.roughness), settings.ssr)
-                    if (frame_state is not None
-                            and frame_state.ssr_history is not None):
-                        refl_low = post.temporal_accumulate(
-                            refl_low, frame_state.ssr_history, motion_low,
-                            first=first)
-                        conf_low = post.temporal_accumulate(
-                            conf_low, frame_state.ssr_conf_history,
-                            motion_low, first=first)
-                        hist2["ssr_history"] = refl_low
-                        hist2["ssr_conf_history"] = conf_low
-                    refl = post.bilateral_upsample(refl_low, depth_low,
-                                                   depth_full)
-                    conf = post.bilateral_upsample(conf_low, depth_low,
-                                                   depth_full)
-                else:
-                    refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
-                                          gb.roughness, settings.ssr)
-            else:
-                refl = jnp.zeros_like(color)
-                conf = jnp.zeros(color.shape[:-1])
-            if rt_refl is not None:
-                refl = refl * conf[..., None] \
-                    + rt_refl * (1.0 - conf[..., None]) * rt_mask[..., None]
-                color = color + refl * f0
-            else:
-                color = color + refl * conf[..., None] * f0
-        return color, rt_refl, hist2
-
-    color, rt_refl, hist2 = _run(_s4_reflections, color, gb, frame_state)
+    color, rt_refl, hist2 = _run(
+        _stage_reflections, scene, camera, color, gb, frame_state,
+        settings=settings)
     hist_updates.update(hist2)
     color = fence(color)
-
-    # --- stage 5: sky for misses + transparent + water ----------------------
-    def _s5_compose(color, gb):
-        d = m.noz(gb.world_pos - camera.position)
-        sky = sky_radiance(scene.sky, d.reshape(-1, 3)).reshape(height,
-                                                                width, 3)
-        color = jnp.where(gb.hit[..., None], color, sky)
-
-        # Transparent pass, back-to-front per pixel (reference:
-        # transparent_render_pass, render_pass.h:100 — depth-keyed sort
-        # after opaque, before TAA).
-        if transparent_objects:
-            from .transparent import transparent_pass
-            color = transparent_pass(color, gb, camera, transparent_objects,
-                                     sky=scene.sky)
-        # Water (the reference's other transparent-pass member).
-        if water_height is not None:
-            from .water_pass import water_pass
-            color = water_pass(color, gb, camera, scene.sky,
-                               water_height=water_height, time=time)
-        return color
-
-    color = fence(_run(_s5_compose, color, gb))
-
-    # --- stage 6: TAA --------------------------------------------------------
-    def _s6_taa(color, gb, frame_state, hist_updates):
-        if frame_state is None:
-            return color, frame_state
-        first_frame = frame_state.frame_index == 0
-        if settings.enable_taa:
-            blended = post.taa(color, frame_state.history, gb.motion,
-                               settings.taa)
-            color = jnp.where(first_frame, color, blended)
-        new_state = frame_state.replace(
-            history=color, frame_index=frame_state.frame_index + 1,
-            **hist_updates)
-        return color, new_state
-
-    color, new_state = _run(_s6_taa, color, gb, frame_state, hist_updates)
+    color = fence(_run(
+        _stage_compose, scene, camera, color, gb, transparent_objects,
+        water_height, time, settings=settings, width=width, height=height))
+    color, new_state = _run(_stage_taa, color, gb, frame_state, hist_updates,
+                            settings=settings)
     color = fence(color)
-
-    # --- stage 7: bloom / tonemap / sharpen ----------------------------------
-    def _s7_post(color):
-        if settings.enable_bloom:
-            color = post.bloom(color, settings.bloom)
-        ldr = post.tonemap_uncharted2(color, settings.tonemap)
-        if settings.enable_sharpen:
-            ldr = post.sharpen(ldr, settings.sharpen)
-        return ldr
-
-    ldr = _run(_s7_post, color)
+    ldr = _run(_stage_post, color, settings=settings)
 
     aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient}
     if rt_refl is not None:
@@ -410,15 +443,20 @@ def render_frame_with_shadows(scene: Scene, camera: Camera, width, height,
     """Convenience: fit + render cascades, then the frame."""
     maps = fit_cascades(camera.position, -scene.sky.sun_direction)
     if kw.get("dispatch") == "per_pass":
-        # Own dispatch for the cascade renders (4 traversals), mirroring the
-        # per-stage split inside render_frame.
-        maps = jax.jit(lambda: render_sun_shadow_maps(
-            scene.bvh, maps, resolution=shadow_resolution))()
+        # Own dispatch for the cascade renders, mirroring the per-stage
+        # split inside render_frame (stable jit identity: frame 2+ reuses
+        # the compiled program).
+        maps = _render_sun_shadow_maps_jit(scene.bvh, maps,
+                                           resolution=shadow_resolution)
     else:
         maps = render_sun_shadow_maps(scene.bvh, maps,
                                       resolution=shadow_resolution)
     return render_frame(scene, camera, width, height, settings,
                         shadow_maps=maps, **kw)
+
+
+_render_sun_shadow_maps_jit = jax.jit(
+    render_sun_shadow_maps, static_argnames=("resolution", "max_steps"))
 
 
 CASCADE_COLORS = jnp.array([
