@@ -20,7 +20,15 @@ parser.add_argument("--size", type=int, default=256)
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="showcase.png")
 parser.add_argument("--physics-steps", type=int, default=180)
+parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"])
+parser.add_argument("--backend", default=None, choices=["dense", "pallas"])
 args = parser.parse_args()
+# axon defaults: per-pass stage dispatch (the TPU toolchain's fusion pass
+# crashes on the fused whole-frame module) + the Mosaic ray kernel.
+if args.dispatch is None:
+    args.dispatch = "per_pass" if args.platform == "axon" else "fused"
+if args.backend is None:
+    args.backend = "pallas" if args.platform == "axon" else "dense"
 
 import jax
 
@@ -33,6 +41,8 @@ from d3d12renderer_tpu.physics.builder import SceneBuilder
 from d3d12renderer_tpu.physics.step import physics_step
 from d3d12renderer_tpu.physics.types import PhysicsSettings
 from d3d12renderer_tpu.render import bvh as bvh_mod
+
+bvh_mod.set_ray_backend(args.backend)
 from d3d12renderer_tpu.render import mesh as mesh_mod
 from d3d12renderer_tpu.render.camera import look_at
 from d3d12renderer_tpu.render.decals import make_decals
@@ -258,12 +268,16 @@ rs = RendererSettings(enable_sss=True, enable_rt_reflections=True,
 fs = initial_frame_state(SIZE, SIZE)
 water_h = 0.9
 
-fn = jax.jit(lambda st, key: render_frame(
+_frame = lambda st, key, dispatch: render_frame(
     scene, cam, SIZE, SIZE, rs,
     point_lights=points, spot_lights=spots,
     shadow_maps=sun_maps, spot_shadow_maps=[smap], point_shadow_maps=[pmap],
     probe_grid=grid, transparent_objects=[glass], decals=decals,
-    water_height=water_h, frame_state=st, key=key))
+    water_height=water_h, frame_state=st, key=key, dispatch=dispatch)
+if args.dispatch == "per_pass":
+    fn = lambda st, key: _frame(st, key, "per_pass")
+else:
+    fn = jax.jit(lambda st, key: _frame(st, key, "fused"))
 
 t0 = time.time()
 ldr, fs, aux = fn(fs, jax.random.PRNGKey(0))

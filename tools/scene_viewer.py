@@ -25,8 +25,12 @@ parser.add_argument("--size", type=int, default=256)
 parser.add_argument("--views", type=int, default=4)
 parser.add_argument("--spp", type=int, default=6)
 parser.add_argument("--platform", default="cpu")
+parser.add_argument("--backend", default=None, choices=["dense", "pallas"],
+                    help="ray backend; default pallas on axon")
 parser.add_argument("--orbit-radius", type=float, default=None)
 args = parser.parse_args()
+if args.backend is None:
+    args.backend = "pallas" if args.platform == "axon" else "dense"
 
 import jax
 
@@ -36,7 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from d3d12renderer_tpu.render import bvh as _bvh_mod
 from d3d12renderer_tpu.scene.scene import Scene
+
+_bvh_mod.set_ray_backend(args.backend)
 
 
 def png_b64(arr_u8) -> str:
