@@ -191,14 +191,26 @@ def kernel_report(fn, *args, iters: int = 10, warmup: int = 2, **kw) -> dict:
     for _ in range(warmup):
         out = compiled(*args, **kw)
     jax.block_until_ready(out)
+    # Auto-scale iterations until the measurement window is long enough for
+    # pipelined dispatch overhead to amortize (sub-floor kernels otherwise
+    # read as ~zero after the floor subtraction).
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(*args, **kw)
-    jax.block_until_ready(out)
-    wall_s = (time.perf_counter() - t0) / iters
+    done = 0
+    while True:
+        for _ in range(iters):
+            out = compiled(*args, **kw)
+        jax.block_until_ready(out)
+        done += iters
+        elapsed = time.perf_counter() - t0
+        if elapsed > 0.3 or done >= 1000:
+            break
+        iters = min(iters * 4, 1000 - done)
+    wall_s = elapsed / done
 
     device = jax.devices()[0]
-    device_s = max(wall_s - _dispatch_floor(device), 1e-9)
+    # Subtract the dispatch floor, but never attribute more than half the
+    # wall time to it — tiny kernels pipeline under the floor.
+    device_s = wall_s - min(_dispatch_floor(device), 0.5 * wall_s)
     peaks = PLATFORM_PEAKS.get(device.platform, PLATFORM_PEAKS["cpu"])
     gflops = flops / device_s / 1e9
     gbps = bytes_accessed / device_s / 1e9

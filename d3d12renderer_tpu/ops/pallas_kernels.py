@@ -14,6 +14,12 @@ pass sequence appears that XLA cannot fuse — with interpret-mode tests and
 device-vs-host references; the production post stack stays on the XLA path
 (render/post.py).
 
+The blur question was ultimately won WITHOUT Pallas: the banded-matmul
+formulation (render/post.py gaussian_blur_matmul — two MXU matmuls against
+constant band matrices) measures 0.02 ms at 1080p vs 0.07 ms for the XLA
+shift-chain and 4.7 ms for the kernel here.  The MXU, not a hand-written
+VMEM pipeline, was the right tool.
+
 Each kernel has an interpret-mode path (tests run on CPU) and a jnp reference
 for the device-vs-host comparison pattern (SURVEY.md §4.1).
 """

@@ -146,6 +146,12 @@ def gaussian_blur_matmul(img, sigma=2.0, radius=None, dtype=jnp.bfloat16):
     and reads the image exactly once, where the shift-chain does 2(2r+1)
     vector adds over the full target.  bf16 inputs with f32 accumulation:
     blur weights sum to 1, so error stays at bf16 resolution (~3e-3).
+
+    Measured on v5e (sigma 2, 20-iter steady): 1088x1920x3 — shifts 0.07 ms,
+    matmul bf16 0.02 ms (3.5x); 512^2x3 — shifts 0.03 ms, matmul bf16
+    0.02 ms.  Kept opt-in (``gaussian_blur(method="matmul")``) because the
+    production frame is not blur-bound and the fused-frame TPU compiler
+    path is fragile (docs/ROADMAP.md).
     Reference pass: shaders/post_processing/gaussian_blur_*_cs.hlsl."""
     squeeze = img.ndim == 2
     if squeeze:
