@@ -210,8 +210,14 @@ def _culled_kernel(ids_ref, counts_ref, o_ref, d_ref, tmax_ref, tri_ref,
         v_ref[:] = jnp.where(better, vk, v_ref[:])
 
 
-SLAB_BLOCKS = 64  # ray blocks per pallas_call: keeps the prefetched
-                  # chunk-id table in SMEM budget (64 x nc int32)
+SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
+
+
+def _slab_blocks_for(nc: int) -> int:
+    """Ray blocks per pallas_call, shrunk for big scenes so the prefetched
+    (slab_blocks x nc) int32 chunk-id table stays within SMEM budget
+    (~16 KB)."""
+    return max(4, min(SLAB_BLOCKS, 4096 // max(nc, 1)))
 
 
 def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
@@ -226,9 +232,10 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
+    sb = _slab_blocks_for(nc)
 
     r = origin.shape[0]
-    slab = SLAB_BLOCKS * RAY_BLOCK
+    slab = sb * RAY_BLOCK
     pad_r = (-r) % slab
     o = jnp.pad(origin, ((0, pad_r), (0, 0)))
     d = jnp.pad(direction, ((0, pad_r), (0, 0)), constant_values=1.0)
@@ -248,7 +255,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(SLAB_BLOCKS, nc),
+        grid=(sb, nc),
         in_specs=[
             ray_spec, ray_spec, per_ray,
             pl.BlockSpec((16, TRI_CHUNK), tri_index,
@@ -266,10 +273,11 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     def one_slab(args):
         o_s, d_s, tm_s = args  # (slab, 3), (slab, 3), (slab,)
         ids, counts = _cluster_cull(
-            o_s.reshape(SLAB_BLOCKS, RAY_BLOCK, 3),
-            d_s.reshape(SLAB_BLOCKS, RAY_BLOCK, 3),
-            tm_s.reshape(SLAB_BLOCKS, RAY_BLOCK),
+            o_s.reshape(sb, RAY_BLOCK, 3),
+            d_s.reshape(sb, RAY_BLOCK, 3),
+            tm_s.reshape(sb, RAY_BLOCK),
             dense.cluster_lo, dense.cluster_hi,
+            group=sb,
         )
         return pl.pallas_call(
             _culled_kernel,

@@ -237,7 +237,12 @@ def _ray_tris(o, d, v0, e1, e2, valid, t_max):
 # all expressible as (R,3)@(3,T) matmuls, scanned over triangle chunks.
 
 DENSE_CHUNK = 512
-DENSE_MAX_TRIS = 131072
+# Cap for building the dense plane tables (32 MB of HBM at the cap).  The
+# culled Pallas path scales with chunk VISITS, not total triangles, so big
+# scenes stay fast there; the XLA dense path degrades linearly and the
+# skip-link fallback is TPU-hostile, so prefer backend="pallas" beyond
+# ~100k triangles.
+DENSE_MAX_TRIS = 524288
 
 # Ray intersection backend over the dense tables:
 #   "dense"  — XLA matmul scan (2.9 Mrays/s on v5e at ~1.3k tris; portable)

@@ -100,3 +100,43 @@ def test_ray_trace_culled_matches_dense():
                                np.asarray(ref["t"])[m], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(got["tri"])[m],
                                   np.asarray(ref["tri"])[m])
+
+
+@pytest.mark.slow
+def test_ray_trace_culled_adaptive_slab_big_scene():
+    """Big-scene path: >64 chunks shrinks the per-call slab so the
+    prefetched chunk-id table stays in SMEM (_slab_blocks_for).  Parity vs
+    the dense reference on a ~80k-triangle scene."""
+    from d3d12renderer_tpu.ops.ray_trace_pallas import (
+        _slab_blocks_for, closest_hit_pallas_culled,
+    )
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    meshes = []
+    for ix in range(5):
+        for iz in range(5):
+            s = mesh_mod.uv_sphere(0.45, 30, 58).transformed(
+                translate=(ix * 1.2 - 2.4, 0.5, iz * 1.2 - 2.4))
+            meshes.append((s, (ix + iz) % 3))
+    b = bvh_mod.build_bvh(meshes)
+    nc = b.dense.cluster_lo.shape[0]
+    assert nc > 64, f"need >64 chunks to exercise the adaptive path, got {nc}"
+    assert _slab_blocks_for(nc) < 64
+
+    rng = np.random.default_rng(7)
+    R = 256
+    o = np.tile([[0.0, 2.0, -6.0]], (R, 1)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d[:, 2] += 1.2
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = bvh_mod.closest_hit_dense(b.dense, jnp.asarray(o), jnp.asarray(d))
+    got = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]),
+                                  np.asarray(ref["hit"]))
+    m = np.asarray(ref["hit"])
+    assert m.sum() > 20
+    np.testing.assert_allclose(np.asarray(got["t"])[m],
+                               np.asarray(ref["t"])[m], rtol=1e-5)
