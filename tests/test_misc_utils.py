@@ -107,3 +107,18 @@ def test_metaballs_isosurface():
     assert np.abs(f).mean() < 0.35
     # Both blobs merged: x extent spans both centers.
     assert p[:, 0].min() < -0.3 and p[:, 0].max() > 1.0
+
+
+def test_persistent_compilation_cache_enabled():
+    """Importing the package enables the persistent XLA compile cache (the
+    pipeline-state-cache analog, dx_pipeline.cpp:412) unless the user
+    configured or disabled it — multi-minute TPU frame compiles pay once."""
+    import os
+
+    import jax
+
+    if os.environ.get("D3DTPU_NO_COMPILATION_CACHE") or \
+            os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user-managed; the hook must not override
+    assert jax.config.jax_compilation_cache_dir is not None
+    assert "d3d12renderer_tpu" in jax.config.jax_compilation_cache_dir
