@@ -216,8 +216,8 @@ SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
 def _slab_blocks_for(nc: int) -> int:
     """Ray blocks per pallas_call, shrunk for big scenes so the prefetched
     (slab_blocks x nc) int32 chunk-id table stays within SMEM budget
-    (~16 KB)."""
-    return max(4, min(SLAB_BLOCKS, 4096 // max(nc, 1)))
+    (~16 KB = 4096 int32)."""
+    return max(1, min(SLAB_BLOCKS, 4096 // max(nc, 1)))
 
 
 def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
@@ -232,6 +232,11 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
+    # Even at one ray block per slab, the prefetched (1 x nc) chunk-id table
+    # must fit the ~16 KB SMEM budget.
+    assert nc <= 4096, (
+        f"{nc} chunks ({t_count} padded tris) exceeds the SMEM chunk-id "
+        f"budget; split the scene or raise TRI_CHUNK")
     sb = _slab_blocks_for(nc)
 
     r = origin.shape[0]

@@ -197,11 +197,16 @@ def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
                 vmask = arch.col_hull_mask[ci[s:e]]
             else:
                 continue
-            tp, td, tm, tn = tri_rows(ci[s:e], ti[s:e], verts, vmask)
-            pts = pts.at[s:e].set(tp)
-            dep = dep.at[s:e].set(td)
-            msk = msk.at[s:e].set(tm)
-            n = n.at[s:e].set(tn)
+            tp, td, tm, tn, tov = tri_rows(ci[s:e], ti[s:e], verts, vmask)
+            # Mip-descent overflow means candidate cells were dropped (the
+            # collider AABB spans more than MIP_CANDIDATES cells at a level);
+            # those rows keep the bilinear tangent-plane manifold instead of
+            # a silently incomplete triangle set.
+            ok = tov == 0
+            pts = pts.at[s:e].set(jnp.where(ok[:, None, None], tp, pts[s:e]))
+            dep = dep.at[s:e].set(jnp.where(ok[:, None], td, dep[s:e]))
+            msk = msk.at[s:e].set(jnp.where(ok[:, None], tm, msk[s:e]))
+            n = n.at[s:e].set(jnp.where(ok[:, None], tn, n[s:e]))
 
     friction, restitution = narrow.combine_materials(
         arch.col_friction[ci], arch.terrain_friction[ti],

@@ -99,7 +99,10 @@ def _descend(levels, origin, cell, lo3, hi3, k=MIP_CANDIDATES):
 
 def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
     """Deepest <=4 vertex-vs-triangle contacts of one vertex cloud vs one
-    heightfield.  Returns (points (4,3), depths (4,), mask (4,), normal (3,)).
+    heightfield.  Returns (points (4,3), depths (4,), mask (4,), normal (3,),
+    overflow ()) — overflow > 0 means the mip descent dropped candidate cells
+    (collider AABB spans more than MIP_CANDIDATES cells at some level) and
+    the caller should fall back to the tangent-plane manifold for this row.
 
     Triangulation matches terrain.heightmap_mesh: cell (i,j) splits into
     [(i,j),(i+1,j),(i,j+1)] and [(i,j+1),(i+1,j),(i+1,j+1)]."""
@@ -107,7 +110,7 @@ def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
     small = jnp.where(vmask[:, None], verts, -jnp.inf)
     lo3 = jnp.min(big, axis=0)
     hi3 = jnp.max(small, axis=0)
-    cells, cvalid, _ = _descend(levels, origin, cell, lo3, hi3)
+    cells, cvalid, overflow = _descend(levels, origin, cell, lo3, hi3)
 
     r0, r1 = heights.shape
     i = jnp.clip(cells[:, 0], 0, r0 - 2)
@@ -156,5 +159,11 @@ def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
     points = verts[vi]
     mask = vals > 0
     depths = jnp.where(mask, vals, 0.0)
-    normal = n[ti[0]]
-    return points, depths, mask, normal
+    # The manifold format carries ONE normal per row; contacts straddling a
+    # ridge may touch triangles with different normals, so blend the selected
+    # contacts' triangle normals weighted by depth (deepest dominates).
+    w = jnp.where(mask, vals, 0.0)[:, None]
+    blended = jnp.sum(w * n[ti], axis=0)
+    blen = jnp.linalg.norm(blended)
+    normal = jnp.where(blen > 1e-9, blended / jnp.maximum(blen, 1e-9), n[ti[0]])
+    return points, depths, mask, normal, overflow

@@ -243,6 +243,11 @@ DENSE_CHUNK = 512
 # skip-link fallback is TPU-hostile, so prefer backend="pallas" beyond
 # ~100k triangles.
 DENSE_MAX_TRIS = 524288
+# Above this, the XLA "dense" backend's O(rays x T) matmul scan degrades
+# linearly, so closest_hit routes back to skip-link traversal; only the
+# culled Pallas backend (which scales with chunk VISITS) uses the full
+# tables between DENSE_XLA_MAX_TRIS and DENSE_MAX_TRIS.
+DENSE_XLA_MAX_TRIS = 131072
 
 # Ray intersection backend over the dense tables:
 #   "dense"  — XLA matmul scan (2.9 Mrays/s on v5e at ~1.3k tris; portable)
@@ -410,7 +415,11 @@ def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512):
             from ..ops.ray_trace_pallas import closest_hit_pallas
             return closest_hit_pallas(bvh.dense, origin, direction,
                                       t_max=t_max)
-        return closest_hit_dense(bvh.dense, origin, direction, t_max=t_max)
+        if bvh.dense.n.shape[0] <= DENSE_XLA_MAX_TRIS:
+            return closest_hit_dense(bvh.dense, origin, direction,
+                                     t_max=t_max)
+        # Big scene on the XLA backend: the all-pairs scan would be O(R x T);
+        # skip-link traversal below scales with depth instead.
     r = origin.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
                             jnp.where(direction >= 0, 1e-12, -1e-12), direction)

@@ -37,8 +37,9 @@ def test_vertex_triangle_contacts_flat():
     # A single vertex 0.1 below the flat surface.
     verts = jnp.array([[3.3, -0.1, 4.6], [3.3, 0.5, 4.6]])
     vmask = jnp.ones(2, bool)
-    pts, dep, msk, n = vertex_vs_terrain_triangles(
+    pts, dep, msk, n, ov = vertex_vs_terrain_triangles(
         jnp.asarray(h), levels, origin, jnp.asarray(1.0), verts, vmask)
+    assert int(ov) == 0
     assert bool(msk[0])
     np.testing.assert_allclose(float(dep[0]), 0.1, atol=1e-5)
     np.testing.assert_allclose(np.asarray(n), [0, 1, 0], atol=1e-6)

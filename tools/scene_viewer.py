@@ -70,8 +70,9 @@ rscene = scene.build_render_scene(body_state=state, mapping=mapping)
 # Scene bounds -> orbit radius.
 tv = np.asarray(rscene.bvh.tri_v0[np.asarray(rscene.bvh.tri_valid)])
 center = tv.mean(0) if len(tv) else np.zeros(3)
-radius = args.orbit_radius or float(
-    2.2 * np.linalg.norm(tv - center, axis=-1).max()) if len(tv) else 10.0
+radius = args.orbit_radius or (
+    float(2.2 * np.linalg.norm(tv - center, axis=-1).max())
+    if len(tv) else 10.0)
 
 from d3d12renderer_tpu.render.camera import look_at
 from d3d12renderer_tpu.render.gbuffer import render_gbuffer
@@ -80,6 +81,7 @@ from d3d12renderer_tpu.render.pathtracer import (
 )
 
 views = []
+aux = []
 for i in range(args.views):
     ang = 2 * math.pi * i / args.views
     eye = center + np.array([math.cos(ang) * radius, radius * 0.5,
