@@ -52,13 +52,29 @@ def load_with_cache(source_path: str, loader: Callable, flags_key: str = ""):
 
 
 def load_image(path: str, generate_mips: bool = False):
-    """Decode an image to float32 linear RGB (reference: asset/image.cpp —
-    WIC/HDR/TGA decode + mip gen; PIL stands in for DirectXTex)."""
-    from PIL import Image
+    """Decode an image to float32 linear RGB (reference: asset/image.cpp:76-96
+    — WIC/HDR/TGA/DDS decode + mip gen).  Float formats (.hdr RGBE, .exr)
+    and 16-bit PNGs decode to linear radiance directly; 8-bit images are
+    sRGB-decoded."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".hdr":
+        from .image_io import load_hdr
+        arr = load_hdr(path)
+    elif ext == ".exr":
+        from .image_io import load_exr
+        arr = load_exr(path)
+    else:
+        from PIL import Image
 
-    img = Image.open(path).convert("RGB")
-    arr = np.asarray(img, np.float32) / 255.0
-    arr = np.where(arr <= 0.04045, arr / 12.92, ((arr + 0.055) / 1.055) ** 2.4)
+        img = Image.open(path)
+        raw = np.asarray(img)
+        if raw.dtype == np.uint16:          # 16-bit PNG: linear data
+            from .image_io import load_png16
+            arr = load_png16(path)
+        else:
+            arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+            arr = np.where(arr <= 0.04045, arr / 12.92,
+                           ((arr + 0.055) / 1.055) ** 2.4)
     if not generate_mips:
         return [arr]
     mips = [arr]

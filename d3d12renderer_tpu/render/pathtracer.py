@@ -77,8 +77,9 @@ class Sky:
 
 
 def sample_cubemap(cube, d):
-    """Sample a (6, R, R, 3) cubemap with directions d (..., 3) — nearest
-    texel (the sky is low-frequency; reference samples with trilinear)."""
+    """Sample a (6, R, R, 3) cubemap with directions d (..., 3), bilinear
+    within the selected face (reference samples with trilinear; HDR suns
+    alias visibly with nearest)."""
     r = cube.shape[1]
     ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
     # Face selection by major axis.
@@ -97,9 +98,18 @@ def sample_cubemap(cube, d):
     )
     tc = jnp.where(is_y, jnp.sign(d[..., 1]) * d[..., 2], -d[..., 1])
     inv = 1.0 / jnp.maximum(jnp.abs(major), 1e-9)
-    u = jnp.clip((sc * inv * 0.5 + 0.5) * (r - 1), 0, r - 1).astype(jnp.int32)
-    v = jnp.clip((tc * inv * 0.5 + 0.5) * (r - 1), 0, r - 1).astype(jnp.int32)
-    return cube[face, v, u]
+    u = jnp.clip((sc * inv * 0.5 + 0.5) * (r - 1), 0.0, r - 1.0)
+    v = jnp.clip((tc * inv * 0.5 + 0.5) * (r - 1), 0.0, r - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, r - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, r - 2)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    c00 = cube[face, v0, u0]
+    c01 = cube[face, v0, u0 + 1]
+    c10 = cube[face, v0 + 1, u0]
+    c11 = cube[face, v0 + 1, u0 + 1]
+    return ((1 - fv) * ((1 - fu) * c00 + fu * c01)
+            + fv * ((1 - fu) * c10 + fu * c11))
 
 
 @struct.dataclass

@@ -431,7 +431,11 @@ def render_frame(
     color = fence(color)
     ldr = _run(_stage_post, color, settings=settings)
 
-    aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient}
+    # "hdr" is the pre-tonemap radiance buffer (the reference's HDR16F
+    # intermediate, src/rendering/render_utils.h) — dump via
+    # assets.image_io.save_exr for post-stack debugging.
+    aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient,
+           "hdr": color}
     if rt_refl is not None:
         aux["rt_reflections"] = rt_refl
     return ldr, new_state, aux

@@ -13,6 +13,8 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--size", type=int, default=512)
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="frame.png")
+parser.add_argument("--dump-exr", default=None, metavar="PATH",
+                    help="also write the pre-tonemap HDR buffer as an EXR")
 parser.add_argument("--frames", type=int, default=4)
 parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"],
                     help="default: per_pass on axon (the current TPU "
@@ -97,6 +99,11 @@ from PIL import Image
 
 arr = np.asarray((jnp.clip(ldr, 0, 1) * 255).astype(jnp.uint8))
 Image.fromarray(arr).save(args.out)
+if args.dump_exr:
+    from d3d12renderer_tpu.assets.image_io import save_exr
+
+    save_exr(args.dump_exr, np.asarray(aux["hdr"]), half=True)
+    print(f"wrote pre-tonemap HDR to {args.dump_exr}")
 print(f"wrote {args.out}; mean luma {arr.mean():.1f}, "
       f"ao min {float(aux['ao'].min()):.2f}, "
       f"shadowed px {(np.asarray(aux['shadow']) < 0.5).mean() * 100:.0f}%")

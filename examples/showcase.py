@@ -13,6 +13,7 @@ Usage: python examples/showcase.py [--size 256] [--platform cpu|axon]
 
 import argparse
 import math
+import os
 import time
 
 parser = argparse.ArgumentParser()
@@ -22,6 +23,10 @@ parser.add_argument("--out", default="showcase.png")
 parser.add_argument("--physics-steps", type=int, default=180)
 parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"])
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"])
+parser.add_argument("--envmap", default=None,
+                    help="HDR equirect .hdr/.exr for the textured sky; "
+                         "'procedural' for the gradient sky; default: the "
+                         "committed examples/data/studio.hdr")
 args = parser.parse_args()
 # axon defaults: per-pass stage dispatch (the TPU toolchain's fusion pass
 # crashes on the fused whole-frame module) + the Mosaic ray kernel.
@@ -180,7 +185,27 @@ mats = Materials(
     texture_atlas=splat_tex[None],
     albedo_texture=jnp.array([0, -1, -1, -1, -1, -1, -1], jnp.int32),
 )
-scene = Scene(bvh=scene_bvh, materials=mats, sky=default_sky())
+# Textured HDR sky: a real .hdr environment map (RGBE, committed under
+# examples/data/) decoded through the float image cache and projected to a
+# cubemap (reference: textured sky + pbr_environment.h:19 IBL chain).
+sky = default_sky()
+if args.envmap != "procedural":
+    from d3d12renderer_tpu.assets.cache import load_image_cached
+    from d3d12renderer_tpu.assets.envmap import (
+        DEFAULT_SUN, ensure_demo_envmap,
+    )
+    from d3d12renderer_tpu.render.ibl import equirect_to_cubemap
+
+    envmap_path = args.envmap or ensure_demo_envmap(
+        os.path.join(os.path.dirname(__file__), "data", "studio.hdr"))
+    env_mips, env_cached = load_image_cached(envmap_path)
+    env = jnp.asarray(env_mips[0])
+    sun_d = np.asarray(DEFAULT_SUN) / np.linalg.norm(DEFAULT_SUN)
+    sky = sky.replace(cubemap=equirect_to_cubemap(env, 128),
+                      sun_direction=jnp.asarray(sun_d, jnp.float32))
+    print(f"HDR envmap: {envmap_path} {env.shape[0]}x{env.shape[1]} "
+          f"(max radiance {float(env.max()):.0f}, cached={env_cached})")
+scene = Scene(bvh=scene_bvh, materials=mats, sky=sky)
 cam = look_at(eye=cam_pos, target=(0.0, 1.5, 0.0), aspect=1.0,
               v_fov=math.radians(50))
 

@@ -25,6 +25,13 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--regen-goldens", action="store_true", default=False,
+        help="rewrite tests/goldens/*.png from the current renderer output",
+    )
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: takes >8s; excluded from smoke")
     config.addinivalue_line("markers", "smoke: fast tier, `pytest -m smoke` < 2 min")

@@ -1,0 +1,129 @@
+"""Golden-image regression tests (SURVEY §4: "renderer gets golden-image
+tests"; reference analogue was human-in-the-loop editor texture inspection,
+src/editor/editor.h:45-51).
+
+Small committed PNGs pin the actual renderer output; a shading change that
+alters the image fails here.  Comparison is SSIM + mean-abs-diff with
+tolerances loose enough for cross-platform float drift but tight enough to
+catch real changes (validated: dimming the sun 10% or disabling AO fails).
+
+Regenerate after an INTENTIONAL change with:
+    python -m pytest tests/test_golden_images.py --regen-goldens
+"""
+
+import math
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def ssim(a, b):
+    """Mean SSIM over 8x8 blocks, channels averaged. a/b float in [0,1]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    k1, k2 = 0.01, 0.03
+    c1, c2 = k1 * k1, k2 * k2
+    h, w = a.shape[:2]
+    bs = 8
+    vals = []
+    for y in range(0, h - bs + 1, bs):
+        for x in range(0, w - bs + 1, bs):
+            pa = a[y:y + bs, x:x + bs].reshape(-1, a.shape[-1])
+            pb = b[y:y + bs, x:x + bs].reshape(-1, b.shape[-1])
+            mu_a, mu_b = pa.mean(0), pb.mean(0)
+            va, vb = pa.var(0), pb.var(0)
+            cov = ((pa - mu_a) * (pb - mu_b)).mean(0)
+            s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+                (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
+            vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+def check_golden(request, name, img_u8):
+    """Compare an (H, W, 3) uint8 image against its committed golden."""
+    path = os.path.join(GOLDEN_DIR, name + ".png")
+    img_u8 = np.asarray(img_u8)
+    if request.config.getoption("--regen-goldens"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        Image.fromarray(img_u8).save(path)
+        pytest.skip(f"regenerated {path}")
+    assert os.path.exists(path), (
+        f"missing golden {path}; run with --regen-goldens to create it")
+    ref = np.asarray(Image.open(path).convert("RGB"))
+    assert ref.shape == img_u8.shape, \
+        f"golden {name} shape {ref.shape} != output {img_u8.shape}"
+    a = img_u8.astype(np.float64) / 255.0
+    b = ref.astype(np.float64) / 255.0
+    mad = float(np.abs(a - b).mean())
+    s = ssim(a, b)
+    assert mad < 0.01 and s > 0.97, (
+        f"golden {name} mismatch: mean|diff|={mad:.4f} (limit 0.01), "
+        f"SSIM={s:.4f} (limit 0.97). If the change is intentional, rerun "
+        f"with --regen-goldens and commit the new golden.")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from tests.test_render import make_scene
+    return make_scene()
+
+
+@pytest.fixture(scope="module")
+def cam():
+    from d3d12renderer_tpu.render.camera import look_at
+    return look_at(eye=(5, 3, 6), target=(0.5, 0.8, 0), aspect=1.0,
+                   v_fov=math.radians(50))
+
+
+def test_golden_raster_frame(request, scene, cam):
+    """Full raster frame (shadows, tiled lights, AO, SSR, TAA, bloom,
+    tonemap) pinned at 64x64."""
+    from d3d12renderer_tpu.render.lights import make_point_lights
+    from d3d12renderer_tpu.render.pipeline import (
+        RendererSettings, initial_frame_state, render_frame_with_shadows,
+    )
+    lights = make_point_lights(
+        np.array([[2.0, 2.0, 1.0], [-2.0, 1.5, -1.0]], np.float32),
+        np.array([[4.0, 3.0, 2.0], [1.0, 2.0, 4.0]], np.float32),
+        np.array([6.0, 6.0], np.float32))
+    state = initial_frame_state(64, 64)
+    fn = jax.jit(lambda st, k: render_frame_with_shadows(
+        scene, cam, 64, 64, RendererSettings(), shadow_resolution=128,
+        point_lights=lights, frame_state=st, key=k))
+    ldr, state, _ = fn(state, jax.random.PRNGKey(0))
+    ldr, state, _ = fn(state, jax.random.PRNGKey(1))   # TAA-converged frame
+    img = (np.clip(np.asarray(ldr), 0, 1) * 255).astype(np.uint8)
+    check_golden(request, "raster_frame_64", img)
+
+
+def test_golden_pathtraced(request, scene, cam):
+    """Path-traced frame (fixed key, 8 spp) pinned at 64x64."""
+    from d3d12renderer_tpu.render.pathtracer import (
+        PathTracerSettings, render, to_srgb_u8,
+    )
+    img = render(scene, cam, 64, 64, PathTracerSettings(recursion_depth=3),
+                 spp=8, key=jax.random.PRNGKey(7))
+    check_golden(request, "pathtraced_64", np.asarray(to_srgb_u8(img)))
+
+
+@pytest.mark.slow
+def test_golden_showcase(request, tmp_path):
+    """The everything-on showcase frame pinned at 96x96 (reduced physics
+    settle).  Runs the example as a subprocess because it builds its scene
+    inline."""
+    out = tmp_path / "showcase_golden.png"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "showcase.py"),
+         "--size", "96", "--physics-steps", "20", "--out", str(out)],
+        check=True, cwd=repo, env=env, timeout=1200)
+    img = np.asarray(Image.open(out).convert("RGB"))
+    check_golden(request, "showcase_96", img)
