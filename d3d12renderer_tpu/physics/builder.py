@@ -681,17 +681,29 @@ class SceneBuilder:
 
     def finalize(self, dtype=np.float32, broadphase: str = "static",
                  sap_neighbors: int = 16, sap_max_contacts: int = 0,
+                 sap_algorithm: str = "sweep",
+                 sap_active_budget: "int | None" = None,
+                 sap_row_cap: int = 16,
                  terrain_collision: str = "bilinear"):
         """Compile the scene into a SceneArchetype + initial BodyState.
 
         broadphase="static": enumerate all collider pairs at compile time into
         typed buckets (tether-pruned, colored) — exact, best for small scenes.
         broadphase="sap": skip pair enumeration; candidate pairs come from the
-        runtime dense-AABB broadphase each substep (physics/broadphase.py),
-        keeping at most `sap_neighbors` partners per collider.  Scales to
-        thousands of bodies (the reference's SAP role,
+        runtime broadphase each substep (physics/broadphase.py), keeping at
+        most `sap_neighbors` partners per collider.  Scales to thousands of
+        bodies (the reference's SAP role,
         src/physics/collision_broad.cpp:297); requires
         PhysicsSettings(contact_mode="split_jacobi").
+
+        sap_algorithm="sweep" (default): sort-and-prune along the
+        max-variance axis with an sap_neighbors-wide sorted window —
+        O(C log C + C*W), the reference algorithm in batched form.
+        "dense": all-pairs AABB mask + per-row top-K (O(C^2), exact for any
+        neighbor distribution).
+
+        sap_active_budget: rows the contact table is compacted to (active
+        manifolds first) before solver prep; default 4 per collider.
         """
         n = len(self.bodies)
         c = len(self.colliders)
@@ -789,7 +801,19 @@ class SceneBuilder:
             sap_type_pairs = tuple(
                 (ta, tb) for ai, ta in enumerate(types) for tb in types[ai:]
             )
+            sap_body_kinematic = np.array(
+                [b.kinematic for b in self.bodies], bool)
+            sap_body_group = np.array(
+                [b.no_collide_group for b in self.bodies], np.int32)
+            sap_joint_excl = sorted({
+                (min(j.body_a, j.body_b), max(j.body_a, j.body_b))
+                for j in self.joints if not j.collide_connected})
+            sap_joint_excl = (np.array(sap_joint_excl, np.int32)
+                              if sap_joint_excl else np.zeros((0, 2), np.int32))
         else:
+            sap_body_kinematic = np.zeros((0,), bool)
+            sap_body_group = np.zeros((0,), np.int32)
+            sap_joint_excl = np.zeros((0, 2), np.int32)
             for i in range(c):
                 for j in range(i + 1, c):
                     ci, cj = self.colliders[i], self.colliders[j]
@@ -932,8 +956,16 @@ class SceneBuilder:
             sap_neighbors=sap_neighbors if broadphase == "sap" else 0,
             sap_max_contacts=(sap_max_contacts or 8 * max(c, 1))
             if broadphase == "sap" else 0,
+            sap_mode=sap_algorithm,
+            sap_row_cap=sap_row_cap,
+            sap_active_budget=(
+                (sap_active_budget if sap_active_budget is not None
+                 else 4 * max(c, 1)) if broadphase == "sap" else 0),
             sap_type_pairs=sap_type_pairs,
             sap_collidable=jnp.asarray(sap_collidable),
+            sap_body_kinematic=jnp.asarray(sap_body_kinematic),
+            sap_body_group=jnp.asarray(sap_body_group),
+            sap_joint_excl=jnp.asarray(sap_joint_excl),
         )
 
         state = BodyState(

@@ -90,14 +90,22 @@ def physics_substep(
     )
     inv_mass1 = arch.inv_mass
 
-    num_pairs = contacts.body_a.shape[0]
     mode = settings.contact_mode
-    if arch.sap_neighbors > 0 and mode != "split_jacobi":
+    if arch.sap_neighbors > 0 and mode not in ("split_jacobi", "runtime_gs"):
         raise ValueError(
             "runtime broadphase (finalize(broadphase='sap')) produces dynamic "
             "pair sets that cannot be statically colored; use "
-            "PhysicsSettings(contact_mode='split_jacobi')"
+            "PhysicsSettings(contact_mode='split_jacobi') (or 'runtime_gs' "
+            "for validation runs)"
         )
+    if arch.sap_neighbors > 0 and arch.sap_active_budget > 0:
+        # Compact to the manifolds that actually hit: prep + the iteration
+        # loop scale with real contacts, not broadphase candidates.
+        from . import broadphase as broadphase_mod
+        contacts = broadphase_mod.compact_active(
+            contacts, arch.sap_active_budget)
+    num_pairs = contacts.body_a.shape[0]
+    contact_sa = contact_sb = contact_colors = None
     if num_pairs > 0:
         if mode == "split_jacobi":
             # Split each body into `deg` pieces: effective masses see the
@@ -108,6 +116,23 @@ def physics_substep(
                 contacts, pos1, inv_mass1, ii_w1, vel1, omega1, dt,
                 inv_mass_eff=inv_mass1 * deg,
                 inv_inertia_eff=ii_w1 * deg[:, None, None],
+            )
+            if num_pairs * (n + 1) >= settings.jacobi_matmul_threshold:
+                # Large runtime pair sets: gather/scatter as one-hot MXU
+                # matmuls (XLA's TPU scatter-add serializes per row).
+                contact_sa = solver.body_onehot(contacts.body_a, n + 1)
+                contact_sb = solver.body_onehot(contacts.body_b, n + 1)
+        elif mode == "runtime_gs":
+            # True Gauss-Seidel on runtime pairs: on-device greedy coloring,
+            # true (unsplit) masses — the validation yardstick for Jacobi.
+            prep = solver.prep_contacts_full(
+                contacts, pos1, inv_mass1, ii_w1, vel1, omega1, dt
+            )
+            contact_colors, _ = solver.runtime_color(
+                contacts.body_a, contacts.body_b, contacts.active,
+                inv_mass1[contacts.body_a] > 0,
+                inv_mass1[contacts.body_b] > 0,
+                n + 1, settings.runtime_gs_colors,
             )
         else:
             prep = solver.prep_contacts_full(
@@ -159,8 +184,19 @@ def physics_substep(
         )
         if prep is not None:
             if mode == "split_jacobi":
-                vel1, omega1, imp_n, imp_t = solver.solve_contacts_split_jacobi(
-                    prep, vel1, omega1, imp_n, imp_t
+                if contact_sa is not None:
+                    vel1, omega1, imp_n, imp_t = \
+                        solver.solve_contacts_split_jacobi_matmul(
+                            prep, vel1, omega1, imp_n, imp_t,
+                            contact_sa, contact_sb)
+                else:
+                    vel1, omega1, imp_n, imp_t = \
+                        solver.solve_contacts_split_jacobi(
+                            prep, vel1, omega1, imp_n, imp_t)
+            elif mode == "runtime_gs":
+                vel1, omega1, imp_n, imp_t = solver.solve_contacts_runtime_gs(
+                    prep, contact_colors, settings.runtime_gs_colors,
+                    vel1, omega1, imp_n, imp_t
                 )
             else:
                 vel1, omega1, imp_n, imp_t = solver.solve_contacts_colored(

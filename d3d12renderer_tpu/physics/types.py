@@ -191,12 +191,33 @@ class SceneArchetype:
     sap_neighbors: int = struct.field(pytree_node=False, default=0)
     # Fixed active-contact budget the candidate list is compacted to.
     sap_max_contacts: int = struct.field(pytree_node=False, default=0)
+    # Per-collider candidate cap applied after the sweep window test: the
+    # window W buys exactness along the sort axis, the cap bounds how many
+    # AABB-overlapping partners one collider keeps (with overflow counting).
+    sap_row_cap: int = struct.field(pytree_node=False, default=16)
+    # Candidate algorithm: "sweep" = sort-and-prune along the max-variance
+    # axis with an sap_neighbors-wide window in sorted order (the reference
+    # SAP, collision_broad.cpp:297-447,444, in batched form); "dense" =
+    # all-pairs AABB mask + per-row top-K (O(C^2), exact, small scenes).
+    sap_mode: str = struct.field(pytree_node=False, default="sweep")
+    # Rows kept for the contact solve after narrowphase: the ContactTable is
+    # compacted to the ACTIVE rows (manifolds that actually hit) so prep and
+    # the 30-iteration solve scale with real contacts, not candidates.
+    # 0 = no compaction.
+    sap_active_budget: int = struct.field(pytree_node=False, default=0)
     # Static (type_a, type_b) combos present among colliders (canonical order).
     sap_type_pairs: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
     # (C, C) upper-triangular pair admissibility (collision groups, static
     # pairs, kinematic-kinematic exclusion) — empty when sap_neighbors == 0.
+    # Used as a full-matrix mask by the dense path only; the sweep path
+    # re-derives admissibility from the per-body attributes below (a big-
+    # table gather with sort-derived indices hits a slow XLA path on TPU).
     sap_collidable: jnp.ndarray = None
+    # Per-body attributes for the sweep path's admissibility test.
+    sap_body_kinematic: jnp.ndarray = None   # (N,) bool
+    sap_body_group: jnp.ndarray = None       # (N,) int32, -1 = no group
+    sap_joint_excl: jnp.ndarray = None       # (E, 2) canonical body pairs
 
     # True: box/hull rows collide against exact heightfield triangles found
     # by min-max mip descent (physics/heightmap_collision.py — reference
@@ -219,7 +240,18 @@ class PhysicsSettings:
     #   (the TPU analogue of the reference's SIMD batch scheduling that avoids
     #    same-body conflicts within a batch, src/physics/constraints.cpp:3456).
     # "split_jacobi": parallel mass-splitting Jacobi for dense contact scenes.
+    # "runtime_gs": true Gauss-Seidel on runtime broadphase pairs via
+    #   on-device greedy coloring — several times slower per iteration than
+    #   split_jacobi; the validation yardstick bounding Jacobi divergence.
     contact_mode: str = struct.field(pytree_node=False, default="colored")
+    # split_jacobi switches its gather/scatter to one-hot MXU matmuls when
+    # rows x body-slots reaches this size (XLA TPU scatter-add serializes
+    # per row; the dense matmul is microseconds at these shapes).
+    jacobi_matmul_threshold: int = struct.field(
+        pytree_node=False, default=256 * 1024)
+    # Claim passes for runtime_gs coloring (last color is the unguaranteed
+    # leftover slot; 32 covers grid-like piles with degree <= ~16).
+    runtime_gs_colors: int = struct.field(pytree_node=False, default=32)
     # Colored-solve execution backend: "auto" = single Pallas VMEM kernel for
     # the whole iteration loop on TPU / XLA elsewhere; "pallas" = always the
     # kernel (interpret mode off-TPU, for tests); "xla" = never.
