@@ -18,6 +18,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="step the batch as sequential sub-batches of "
+                             "this size inside one jit (VMEM pressure at "
+                             "4096 whole-batch costs ~8%%; 2048 chunks "
+                             "recover it)")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--platform", default=None, choices=["cpu", "axon"])
     args = parser.parse_args()
@@ -34,12 +39,17 @@ def main():
 
     platform = jax.devices()[0].platform
     if args.batch is None:
-        # 1024 envs/chip is the measured throughput sweet spot on v5e
-        # (4096 regresses ~20%, likely VMEM pressure); the 4096-scene
-        # BASELINE config maps to 512/chip on a v5e-8 data-parallel mesh.
-        args.batch = 64 if args.smoke else (1024 if platform == "tpu" else 256)
+        # The BASELINE config itself: 4096 parallel scenes on one chip,
+        # stepped as two sequential 2048-env sub-batches inside one jit
+        # (whole-batch 4096 costs ~8% to VMEM pressure; 2048 is the
+        # measured sweet spot on v5e).
+        args.batch = 64 if args.smoke else (4096 if platform == "tpu" else 256)
+    if args.chunk is None:
+        args.chunk = 2048 if (platform == "tpu" and not args.smoke) else args.batch
+    args.chunk = min(args.chunk, args.batch)
     if args.steps is None:
         args.steps = 20 if args.smoke else 200
+    n_sub = max(args.batch // args.chunk, 1)
 
     env = LocoEnv()
     reset, _ = make_vec_env(env, args.batch)
@@ -53,7 +63,21 @@ def main():
             actions = jax.random.uniform(
                 k, (args.batch, ACTION_SIZE), minval=-0.5, maxval=0.5
             )
-            obs, env_state, reward, done = jax.vmap(env.step)(env_state, actions)
+            if n_sub > 1:
+                st = jax.tree_util.tree_map(
+                    lambda x: x.reshape((n_sub, args.chunk) + x.shape[1:]),
+                    env_state)
+                act = actions.reshape(n_sub, args.chunk, ACTION_SIZE)
+                st, rew = jax.lax.map(
+                    lambda c: (lambda o, s, r, d: (s, r))(
+                        *jax.vmap(env.step)(c[0], c[1])),
+                    (st, act))
+                env_state = jax.tree_util.tree_map(
+                    lambda x: x.reshape((args.batch,) + x.shape[2:]), st)
+                reward = rew.reshape(args.batch)
+            else:
+                obs, env_state, reward, done = jax.vmap(env.step)(
+                    env_state, actions)
             return (env_state, key), reward.mean()
 
         (env_state, key), rewards = jax.lax.scan(
@@ -88,6 +112,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / 1_000_000.0, 4),
         "batch": args.batch,
+        "chunk": args.chunk,
         "platform": platform,
         "mean_reward": float(r),
         **ray,

@@ -376,6 +376,7 @@ def render_frame(
     time=0.0,
     key=None,
     dispatch: str = "fused",
+    profile_stages: bool = False,
 ):
     """One rasterized-mode frame.  Returns (ldr_image, new_frame_state, aux).
 
@@ -397,12 +398,22 @@ def render_frame(
       dispatch cost per stage."""
     per_pass = dispatch == "per_pass"
     fence = jax.lax.optimization_barrier
+    stage_times = {} if (per_pass and profile_stages) else None
 
     def _run(fn, *args, **static_kw):
         """Run a stage inline (fused: one traced program) or as its own jit
         dispatch (per_pass).  Stages are module-level functions, so the
         per-pass jit cache is hit on every frame after the first."""
         if per_pass:
+            if stage_times is not None:
+                import time as _time
+                t0 = _time.perf_counter()
+                out = fn._jit(*args, **static_kw)
+                jax.block_until_ready(out)
+                name = fn.__name__.replace("_stage_", "")
+                stage_times[name] = (stage_times.get(name, 0.0)
+                                     + _time.perf_counter() - t0)
+                return out
             return fn._jit(*args, **static_kw)
         return fn(*args, **static_kw)
 
@@ -438,6 +449,9 @@ def render_frame(
            "hdr": color}
     if rt_refl is not None:
         aux["rt_reflections"] = rt_refl
+    if stage_times is not None:
+        jax.block_until_ready(ldr)
+        aux["stage_seconds"] = stage_times
     return ldr, new_state, aux
 
 

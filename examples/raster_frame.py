@@ -11,6 +11,12 @@ import time
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--size", type=int, default=512)
+parser.add_argument("--width", type=int, default=None,
+                    help="overrides --size (e.g. 1920)")
+parser.add_argument("--height", type=int, default=None,
+                    help="overrides --size (e.g. 1080)")
+parser.add_argument("--profile-stages", action="store_true",
+                    help="per-pass wall-time breakdown (per_pass dispatch)")
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="frame.png")
 parser.add_argument("--dump-exr", default=None, metavar="PATH",
@@ -65,22 +71,24 @@ mats = Materials(
     roughness=jnp.array([0.7, 0.35, 0.12, 0.5, 0.4]),
     metallic=jnp.array([0.0, 0.0, 1.0, 0.0, 0.0]),
 )
+W = args.width or args.size
+H = args.height or args.size
 scene = Scene(bvh=bvh, materials=mats, sky=default_sky())
-cam = look_at(eye=(6, 3.2, 7), target=(0, 0.8, 0), aspect=1.0,
+cam = look_at(eye=(6, 3.2, 7), target=(0, 0.8, 0), aspect=W / H,
               v_fov=math.radians(45))
 lights = make_point_lights([[2.5, 2.0, 2.5], [-3.0, 1.5, -1.0]],
                            [[40.0, 10.0, 5.0], [5.0, 10.0, 40.0]],
                            [8.0, 8.0])
 
-state = initial_frame_state(args.size, args.size)
+state = initial_frame_state(W, H)
 if args.dispatch == "per_pass":
     fn = lambda st, k: render_frame_with_shadows(
-        scene, cam, args.size, args.size, RendererSettings(),
+        scene, cam, W, H, RendererSettings(),
         shadow_resolution=512, point_lights=lights, frame_state=st, key=k,
-        dispatch="per_pass")
+        dispatch="per_pass", profile_stages=args.profile_stages)
 else:
     fn = jax.jit(lambda st, k: render_frame_with_shadows(
-        scene, cam, args.size, args.size, RendererSettings(),
+        scene, cam, W, H, RendererSettings(),
         shadow_resolution=512, point_lights=lights, frame_state=st, key=k))
 
 t0 = time.time()
@@ -93,7 +101,14 @@ ldr.block_until_ready()
 t2 = time.time()
 
 print(f"compile+frame: {t1 - t0:.1f}s; steady: "
-      f"{(t2 - t1) / max(args.frames - 1, 1) * 1000:.0f} ms/frame")
+      f"{(t2 - t1) / max(args.frames - 1, 1) * 1000:.0f} ms/frame "
+      f"({W}x{H})")
+if args.profile_stages and "stage_seconds" in aux:
+    total = sum(aux["stage_seconds"].values())
+    print("per-pass breakdown (last frame):")
+    for name, s in sorted(aux["stage_seconds"].items(),
+                          key=lambda kv: -kv[1]):
+        print(f"  {name:12s} {s * 1000:8.1f} ms  ({s / total * 100:4.1f}%)")
 
 from PIL import Image
 
