@@ -14,6 +14,7 @@ mirrors main_renderer.h:28-64,100-108.
 
 from __future__ import annotations
 
+from time import perf_counter as _perf_counter
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -397,7 +398,12 @@ def render_frame(
       small modules compile where one frame-sized one dies, at ~1-2 ms
       dispatch cost per stage."""
     per_pass = dispatch == "per_pass"
-    fence = jax.lax.optimization_barrier
+    # Stage seams need a fence only inside ONE traced program (the fused
+    # path), where it pins the pass boundaries the way the reference's
+    # resource barriers do.  In per_pass mode every stage is already its own
+    # compiled module — an eager optimization_barrier there is a real extra
+    # device dispatch per seam (~1 ms each over the tunnel), so skip it.
+    fence = (lambda x: x) if per_pass else jax.lax.optimization_barrier
     stage_times = {} if (per_pass and profile_stages) else None
 
     def _run(fn, *args, **static_kw):
@@ -459,20 +465,31 @@ def render_frame_with_shadows(scene: Scene, camera: Camera, width, height,
                               settings: RendererSettings = RendererSettings(),
                               shadow_resolution=512, **kw):
     """Convenience: fit + render cascades, then the frame."""
-    maps = fit_cascades(camera.position, -scene.sky.sun_direction)
     if kw.get("dispatch") == "per_pass":
-        # Own dispatch for the cascade renders, mirroring the per-stage
-        # split inside render_frame (stable jit identity: frame 2+ reuses
-        # the compiled program).
+        # Own dispatch for the cascade fit + renders, mirroring the
+        # per-stage split inside render_frame (stable jit identity: frame 2+
+        # reuses the compiled program).  fit_cascades MUST be jitted here:
+        # eagerly it is ~30 tiny device ops, each a host round-trip.
+        t0 = _perf_counter() if kw.get("profile_stages") else None
+        maps = _fit_cascades_jit(camera.position, scene.sky.sun_direction)
         maps = _render_sun_shadow_maps_jit(scene.bvh, maps,
                                            resolution=shadow_resolution)
+        if t0 is not None:
+            jax.block_until_ready(maps)
+            shadow_s = _perf_counter() - t0
+            out = render_frame(scene, camera, width, height, settings,
+                               shadow_maps=maps, **kw)
+            out[2].setdefault("stage_seconds", {})["shadows"] = shadow_s
+            return out
     else:
+        maps = fit_cascades(camera.position, -scene.sky.sun_direction)
         maps = render_sun_shadow_maps(scene.bvh, maps,
                                       resolution=shadow_resolution)
     return render_frame(scene, camera, width, height, settings,
                         shadow_maps=maps, **kw)
 
 
+_fit_cascades_jit = jax.jit(lambda pos, sun: fit_cascades(pos, -sun))
 _render_sun_shadow_maps_jit = jax.jit(
     render_sun_shadow_maps, static_argnames=("resolution", "max_steps"))
 

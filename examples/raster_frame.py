@@ -104,11 +104,13 @@ print(f"compile+frame: {t1 - t0:.1f}s; steady: "
       f"{(t2 - t1) / max(args.frames - 1, 1) * 1000:.0f} ms/frame "
       f"({W}x{H})")
 if args.profile_stages and "stage_seconds" in aux:
-    total = sum(aux["stage_seconds"].values())
-    print("per-pass breakdown (last frame):")
-    for name, s in sorted(aux["stage_seconds"].items(),
-                          key=lambda kv: -kv[1]):
-        print(f"  {name:12s} {s * 1000:8.1f} ms  ({s / total * 100:4.1f}%)")
+    frame_wall = (t2 - t1) / max(args.frames - 1, 1)
+    stages = dict(aux["stage_seconds"])
+    stages["(dispatch gaps)"] = max(frame_wall - sum(stages.values()), 0.0)
+    print("per-pass breakdown (last frame, device-blocked per stage):")
+    for name, s in sorted(stages.items(), key=lambda kv: -kv[1]):
+        print(f"  {name:16s} {s * 1000:8.2f} ms  "
+              f"({s / frame_wall * 100:4.1f}%)")
 
 from PIL import Image
 
