@@ -1,10 +1,14 @@
 """HTML scene viewer smoke test (the editor-substitute inspection surface;
-reference: editor panels, src/editor/editor.cpp + editor.h:45-51).
+reference: editor panels, src/editor/editor.cpp + editor.h:45-51; live-serve
+loop: editor update/undo, src/editor/editor.cpp:247 + undo_stack.h:6-40).
 """
 
+import json
 import re
 import subprocess
 import sys
+import time
+import urllib.request
 
 import pytest
 
@@ -29,3 +33,69 @@ def test_scene_viewer_generates_html(tmp_path):
     assert "Ball" in doc and "GroundVis" in doc and "Sun" in doc
     assert "collider: sphere" in doc
     assert "1 bodies" in doc and "1 colliders" in doc
+
+
+@pytest.mark.slow
+def test_scene_viewer_serve_loop():
+    """Live loop: orbit re-render -> PNG, component inspection, transform
+    edit through the undo stack (undo + redo observable via /entities)."""
+    proc = subprocess.Popen(
+        [sys.executable, "tools/scene_viewer.py", "--demo", "--serve",
+         "--port", "0", "--size", "64", "--spp", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        m = re.search(r"http://127\.0\.0\.1:(\d+)/", line)
+        assert m, f"no serve banner: {line!r} / {proc.stderr.read()[-500:]}"
+        base = f"http://127.0.0.1:{m.group(1)}"
+
+        def get(path):
+            return urllib.request.urlopen(base + path, timeout=300).read()
+
+        def post(path, doc=None):
+            req = urllib.request.Request(
+                base + path, method="POST",
+                data=json.dumps(doc).encode() if doc else b"",
+                headers={"Content-Type": "application/json"},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=60).read())
+
+        assert b"scene viewer" in get("/")
+        png = get("/render?size=64&spp=1&theta=0.3&phi=0.5")
+        assert png[:4] == b"\x89PNG"
+        # A different orbit angle must re-render (different image bytes).
+        png2 = get("/render?size=64&spp=1&theta=2.1&phi=0.5")
+        assert png2[:4] == b"\x89PNG" and png2 != png
+        for kind in ("normals", "depth", "ao"):
+            assert get(f"/render?size=64&kind={kind}")[:4] == b"\x89PNG"
+
+        ents = json.loads(get("/entities"))
+        red = next(e for e in ents if e["name"] == "RedSphere")
+        assert red["position"][0] == pytest.approx(0.0)
+
+        post("/edit", {"id": red["id"], "position": [3.0, 0.8, 0.0]})
+        ents = json.loads(get("/entities"))
+        red = next(e for e in ents if e["name"] == "RedSphere")
+        assert red["position"][0] == pytest.approx(3.0)
+        # The edited scene renders (BVH rebuilt from the moved transform).
+        assert get("/render?size=64&spp=1")[:4] == b"\x89PNG"
+
+        assert post("/undo")["undone"] == "edit RedSphere"
+        ents = json.loads(get("/entities"))
+        red = next(e for e in ents if e["name"] == "RedSphere")
+        assert red["position"][0] == pytest.approx(0.0)
+
+        assert post("/redo")["redone"] == "edit RedSphere"
+        ents = json.loads(get("/entities"))
+        red = next(e for e in ents if e["name"] == "RedSphere")
+        assert red["position"][0] == pytest.approx(3.0)
+
+        info = json.loads(get("/info"))
+        assert info["radius"] > 0 and info["undo"] == "edit RedSphere"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -1,25 +1,37 @@
-"""Standalone HTML scene viewer — the web half of the editor substitute.
+"""Scene viewer — the web half of the editor substitute.
 
-Reference: the editor's hierarchy/inspector/aux-texture panels
-(src/editor/editor.cpp, editor.h:45-51).  This generates a single
-self-contained HTML file with: the entity tree and all components, physics
-compilation stats, orbiting path-traced views, and the intermediate render
-targets (AO / shadow / normals / depth) the reference exposes as panels.
+Reference: the editor's hierarchy/inspector/aux-texture panels and play-mode
+loop (src/editor/editor.cpp:247, editor.h:45-51).  Two modes:
+
+Static (default): a single self-contained HTML file with the entity tree and
+all components, physics compilation stats, orbiting path-traced views, and
+the intermediate render targets (AO / shadow / normals / depth) the
+reference exposes as panels.
+
+Live (`--serve`): a local HTTP loop — orbit/zoom the camera in the browser
+(drag + wheel -> re-render request -> PNG response), inspect components,
+and edit entity transforms; every edit goes through utils/undo.UndoStack,
+so Undo/Redo work exactly like the reference's toggle-blob ring
+(src/editor/undo_stack.h:6-40).
 
 Usage:
   python tools/scene_viewer.py scene.yaml [--out scene.html] [--size 256]
       [--views 4] [--spp 6] [--platform cpu|axon]
+  python tools/scene_viewer.py scene.yaml --serve [--port 8710]
+  python tools/scene_viewer.py --demo --serve        # built-in demo scene
 """
 
 import argparse
 import base64
 import html
 import io
+import json
 import math
 import sys
+import threading
 
 parser = argparse.ArgumentParser()
-parser.add_argument("scene", help="scene YAML file")
+parser.add_argument("scene", nargs="?", default=None, help="scene YAML file")
 parser.add_argument("--out", default=None)
 parser.add_argument("--size", type=int, default=256)
 parser.add_argument("--views", type=int, default=4)
@@ -28,9 +40,18 @@ parser.add_argument("--platform", default="cpu")
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"],
                     help="ray backend; default pallas on axon")
 parser.add_argument("--orbit-radius", type=float, default=None)
+parser.add_argument("--serve", action="store_true",
+                    help="run the live HTTP viewer instead of writing HTML")
+parser.add_argument("--port", type=int, default=8710)
+parser.add_argument("--demo", action="store_true",
+                    help="serve a built-in multi-object demo scene")
 args = parser.parse_args()
 if args.backend is None:
     args.backend = "pallas" if args.platform == "axon" else "dense"
+if args.scene is None and not args.demo:
+    parser.error("scene YAML required (or pass --demo)")
+if args.views < 1 and not args.serve:
+    parser.error("--views must be >= 1")
 
 import jax
 
@@ -41,16 +62,22 @@ import numpy as np
 from PIL import Image
 
 from d3d12renderer_tpu.render import bvh as _bvh_mod
+from d3d12renderer_tpu.scene import components as C
 from d3d12renderer_tpu.scene.scene import Scene
+from d3d12renderer_tpu.utils.undo import UndoStack
 
 _bvh_mod.set_ray_backend(args.backend)
 
 
-def png_b64(arr_u8) -> str:
+def png_bytes(arr_u8) -> bytes:
     img = Image.fromarray(np.asarray(arr_u8))
     buf = io.BytesIO()
     img.save(buf, format="PNG")
-    return base64.b64encode(buf.getvalue()).decode()
+    return buf.getvalue()
+
+
+def png_b64(arr_u8) -> str:
+    return base64.b64encode(png_bytes(arr_u8)).decode()
 
 
 def gray_u8(x):
@@ -63,70 +90,385 @@ def gray_u8(x):
     return (np.clip(n, 0, 1) * 255).astype(np.uint8)
 
 
-scene = Scene.load_yaml(args.scene)
-arch, state, mapping = scene.compile_physics()
-rscene = scene.build_render_scene(body_state=state, mapping=mapping)
+def build_demo_scene() -> Scene:
+    """Showcase-style multi-object scene through the ECS path."""
+    s = Scene()
+    s.add_static_plane((0, 1, 0), 0.0)
+    specs = [
+        ("RedSphere", "sphere", {"radius": 0.8}, (0.0, 0.8, 0.0),
+         dict(albedo=(0.75, 0.15, 0.12), roughness=0.35)),
+        ("MetalSphere", "sphere", {"radius": 0.6}, (-1.9, 0.6, 0.7),
+         dict(albedo=(0.95, 0.93, 0.88), roughness=0.12, metallic=1.0)),
+        ("BlueBox", "box", {"half_extents": (0.55, 0.55, 0.55)},
+         (1.9, 0.55, -0.4), dict(albedo=(0.15, 0.3, 0.75), roughness=0.5)),
+        ("GreenTorus", "torus", {"major": 0.8, "minor": 0.25},
+         (0.7, 0.26, 1.9), dict(albedo=(0.2, 0.7, 0.3), roughness=0.4)),
+    ]
+    for name, prim, params, pos, mat in specs:
+        e = s.create_entity(name)
+        e.add_component(C.Transform(position=pos))
+        e.add_component(C.Mesh(primitive=prim, params=params))
+        e.add_component(C.Material(**mat))
+    ground = s.create_entity("GroundVis")
+    ground.add_component(C.Transform())
+    ground.add_component(C.Mesh(primitive="quad", params={"half": 12.0}))
+    ground.add_component(C.Material(albedo=(0.45, 0.45, 0.45), roughness=0.7))
+    sun = s.create_entity("Sun")
+    sun.add_component(C.DirectionalLight())
+    return s
 
-# Scene bounds -> orbit radius.
-tv = np.asarray(rscene.bvh.tri_v0[np.asarray(rscene.bvh.tri_valid)])
-center = tv.mean(0) if len(tv) else np.zeros(3)
-radius = args.orbit_radius or (
-    float(2.2 * np.linalg.norm(tv - center, axis=-1).max())
-    if len(tv) else 10.0)
 
-from d3d12renderer_tpu.render.camera import look_at
-from d3d12renderer_tpu.render.gbuffer import render_gbuffer
-from d3d12renderer_tpu.render.pathtracer import (
-    PathTracerSettings, render, to_srgb_u8,
-)
+def orbit_camera(center, radius, theta, phi, aspect=1.0):
+    from d3d12renderer_tpu.render.camera import look_at
 
-views = []
-aux = []
-for i in range(args.views):
-    ang = 2 * math.pi * i / args.views
-    eye = center + np.array([math.cos(ang) * radius, radius * 0.5,
-                             math.sin(ang) * radius])
-    cam = look_at(eye=tuple(eye), target=tuple(center + [0, 0.5, 0]),
-                  aspect=1.0, v_fov=math.radians(50))
-    img = render(rscene, cam, args.size, args.size,
-                 PathTracerSettings(recursion_depth=2), spp=args.spp,
-                 key=jax.random.PRNGKey(i))
-    views.append((f"orbit {i * 360 // args.views}&deg;",
-                  png_b64(to_srgb_u8(img))))
-    if i == 0:
-        # Aux buffers from the first view (the editor's texture panels).
-        gb = render_gbuffer(rscene, cam, args.size, args.size)
-        from d3d12renderer_tpu.render import post
-        ao = post.hbao(gb.view_pos, gb.view_normal)
-        aux = [
-            ("normals", png_b64(((np.asarray(gb.normal) * 0.5 + 0.5)
-                                 * 255).astype(np.uint8))),
-            ("depth", png_b64(gray_u8(np.asarray(gb.depth)))),
-            ("object id", png_b64(gray_u8(np.asarray(gb.object_id)))),
-            ("AO", png_b64(gray_u8(np.asarray(ao)))),
-        ]
+    phi = max(-1.45, min(1.45, phi))
+    eye = center + np.array([
+        math.cos(phi) * math.cos(theta), math.sin(phi),
+        math.cos(phi) * math.sin(theta),
+    ]) * radius
+    return look_at(eye=tuple(eye), target=tuple(center + [0, 0.5, 0]),
+                   aspect=aspect, v_fov=math.radians(50))
 
-# Entity tree.
-rows = []
-for ent, _ in scene.view():
-    comps = [k for k in scene._components if ent.has(k)]
-    detail = []
-    for k in comps:
-        v = ent.get(k)
-        if k == "transform":
-            detail.append(
-                f"transform: pos={tuple(round(float(x), 3) for x in v.position)}")
-        elif k == "collider":
-            for c in v:
-                detail.append(f"collider: {c.shape} size={tuple(c.size)}")
-        else:
-            detail.append(f"{k}: {html.escape(str(v)[:120])}")
-    rows.append((ent.id, ent.name, comps, detail))
 
-total_pairs = sum(b.body_a.shape[0] for b in arch.contact_buckets)
-joints = [(t.kind, t.body_a.shape[0]) for t in arch.joints]
+def scene_center_radius(rscene):
+    tv = np.asarray(rscene.bvh.tri_v0[np.asarray(rscene.bvh.tri_valid)])
+    center = tv.mean(0) if len(tv) else np.zeros(3)
+    radius = args.orbit_radius or (
+        float(2.2 * np.linalg.norm(tv - center, axis=-1).max())
+        if len(tv) else 10.0)
+    return center, radius
 
-parts = [f"""<!doctype html><html><head><meta charset="utf-8">
+
+# ---------------------------------------------------------------------------
+# Live server (--serve)
+# ---------------------------------------------------------------------------
+
+VIEWER_HTML = """<!doctype html><html><head><meta charset="utf-8">
+<title>scene viewer</title><style>
+body { font: 13px/1.5 system-ui, sans-serif; margin: 0; display: flex;
+       background: #16181d; color: #d7dae0; height: 100vh; }
+#left { flex: 1; display: flex; flex-direction: column; align-items: center;
+        justify-content: center; }
+#view { image-rendering: pixelated; border: 1px solid #333; cursor: grab;
+        max-width: 90%; }
+#side { width: 360px; overflow-y: auto; padding: 12px; border-left: 1px solid
+        #2a2d34; }
+button { background: #242832; color: #d7dae0; border: 1px solid #3a3f4b;
+         border-radius: 4px; padding: 3px 10px; margin: 2px; cursor: pointer; }
+button:hover { background: #2e3340; }
+input[type=number] { width: 62px; background: #1b1e24; color: #d7dae0;
+         border: 1px solid #3a3f4b; border-radius: 3px; }
+select { background: #1b1e24; color: #d7dae0; border: 1px solid #3a3f4b; }
+.ent { border-bottom: 1px solid #2a2d34; padding: 6px 0; }
+.ent b { color: #9ecbff; } .comps { color: #8a8f98; font-size: 11px; }
+#status { color: #8a8f98; font-size: 11px; margin-top: 6px; }
+</style></head><body>
+<div id="left"><img id="view" width="512" height="512">
+  <div id="status">drag = orbit &middot; wheel = zoom</div></div>
+<div id="side">
+  <div>
+    <button onclick="act('undo')">&#8630; Undo</button>
+    <button onclick="act('redo')">&#8631; Redo</button>
+    target: <select id="kind" onchange="refresh()">
+      <option>beauty</option><option>normals</option><option>depth</option>
+      <option>ao</option></select>
+    spp: <input id="spp" type="number" value="SPP0" min="1" max="64"
+                onchange="refresh()">
+  </div>
+  <div id="ents"></div>
+</div>
+<script>
+let theta = 0.8, phi = 0.45, radius = null, busy = false, dirty = false;
+const view = document.getElementById('view');
+function url() {
+  let u = `/render?theta=${theta}&phi=${phi}` +
+      `&kind=${document.getElementById('kind').value}` +
+      `&spp=${document.getElementById('spp').value}`;
+  if (radius !== null) u += `&radius=${radius}`;
+  return u;
+}
+function refresh() {
+  if (busy) { dirty = true; return; }
+  busy = true;
+  const t0 = performance.now();
+  fetch(url()).then(r => r.blob()).then(b => {
+    view.src = URL.createObjectURL(b);
+    document.getElementById('status').textContent =
+      `render ${(performance.now() - t0).toFixed(0)} ms`;
+    busy = false;
+    if (dirty) { dirty = false; refresh(); }
+  }).catch(() => { busy = false; });
+}
+let drag = null;
+view.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  theta += (e.clientX - drag[0]) * 0.01;
+  phi = Math.max(-1.4, Math.min(1.4, phi + (e.clientY - drag[1]) * 0.01));
+  drag = [e.clientX, e.clientY];
+  refresh();
+});
+view.addEventListener('wheel', e => {
+  e.preventDefault();
+  fetch('/info').then(r => r.json()).then(j => {
+    if (radius === null) radius = j.radius;
+    radius *= Math.exp(e.deltaY * 0.001);
+    refresh();
+  });
+}, { passive: false });
+function act(what) {
+  fetch('/' + what, { method: 'POST' })
+    .then(r => r.json()).then(() => { loadEnts(); refresh(); });
+}
+function applyEdit(id) {
+  const p = ['x', 'y', 'z'].map(a =>
+    parseFloat(document.getElementById(`p_${id}_${a}`).value));
+  fetch('/edit', { method: 'POST',
+    headers: { 'Content-Type': 'application/json' },
+    body: JSON.stringify({ id: id, position: p }) })
+    .then(r => r.json()).then(() => refresh());
+}
+function loadEnts() {
+  fetch('/entities').then(r => r.json()).then(es => {
+    const box = document.getElementById('ents');
+    box.innerHTML = es.map(e => {
+      let h = `<div class="ent"><b>${e.name}</b> <span class="comps">#${e.id}
+        &middot; ${e.components.join(', ')}</span>`;
+      if (e.position) {
+        h += '<div>' + ['x', 'y', 'z'].map((a, i) =>
+          `${a} <input id="p_${e.id}_${a}" type="number" step="0.1"
+             value="${e.position[i].toFixed(2)}">`).join(' ') +
+          ` <button onclick="applyEdit(${e.id})">move</button></div>`;
+      }
+      h += '</div>';
+      return h;
+    }).join('');
+  });
+}
+loadEnts(); refresh();
+</script></body></html>"""
+
+
+def serve(scene: Scene, port: int):
+    from functools import lru_cache
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from d3d12renderer_tpu.render import post as post_mod
+    from d3d12renderer_tpu.render.gbuffer import render_gbuffer
+    from d3d12renderer_tpu.render.pathtracer import (
+        PathTracerSettings, render, to_srgb_u8,
+    )
+
+    undo = UndoStack()
+    lock = threading.Lock()          # one render / edit at a time
+    cache = {"rscene": None}
+
+    def rscene():
+        if cache["rscene"] is None:
+            cache["rscene"] = scene.build_render_scene()
+        return cache["rscene"]
+
+    def invalidate():
+        cache["rscene"] = None
+
+    @lru_cache(maxsize=8)
+    def beauty_fn(size, spp):
+        return jax.jit(lambda sc, cam, key: to_srgb_u8(render(
+            sc, cam, size, size, PathTracerSettings(recursion_depth=2),
+            spp=spp, key=key)))
+
+    def render_png(q):
+        theta = float(q.get("theta", ["0.8"])[0])
+        phi = float(q.get("phi", ["0.45"])[0])
+        size = int(q.get("size", [str(args.size)])[0])
+        spp = int(q.get("spp", [str(args.spp)])[0])
+        kind = q.get("kind", ["beauty"])[0]
+        rs = rscene()
+        center, radius = scene_center_radius(rs)
+        if "radius" in q:
+            radius = float(q["radius"][0])
+        cam = orbit_camera(center, radius, theta, phi)
+        if kind == "beauty":
+            img = beauty_fn(size, spp)(rs, cam, jax.random.PRNGKey(0))
+            return png_bytes(np.asarray(img))
+        gb = render_gbuffer(rs, cam, size, size)
+        if kind == "normals":
+            return png_bytes(((np.asarray(gb.normal) * 0.5 + 0.5)
+                              * 255).astype(np.uint8))
+        if kind == "depth":
+            return png_bytes(gray_u8(np.asarray(gb.depth)))
+        if kind == "ao":
+            return png_bytes(gray_u8(
+                np.asarray(post_mod.hbao(gb.view_pos, gb.view_normal))))
+        raise ValueError(f"unknown render kind {kind!r}")
+
+    def entities_json():
+        out = []
+        for ent, _ in scene.view():
+            comps = [k for k in scene._components if ent.has(k)]
+            row = {"id": ent.id, "name": ent.name, "components": comps}
+            tf = ent.get("transform")
+            if tf is not None:
+                row["position"] = [float(x) for x in tf.position]
+                row["rotation"] = [float(x) for x in tf.rotation]
+            out.append(row)
+        return out
+
+    def make_toggle(eid):
+        def toggle(saved_tf):
+            store = scene._components["transform"]
+            replaced = store[eid]
+            store[eid] = saved_tf
+            invalidate()
+            return replaced
+        return toggle
+
+    def apply_edit(doc):
+        eid = int(doc["id"])
+        store = scene._components.get("transform", {})
+        if eid not in store:
+            raise KeyError(f"entity {eid} has no transform")
+        import dataclasses
+
+        old = store[eid]
+        changes = {}
+        if "position" in doc:
+            changes["position"] = tuple(float(x) for x in doc["position"])
+        if "rotation" in doc:
+            changes["rotation"] = tuple(float(x) for x in doc["rotation"])
+        if "scale" in doc:
+            changes["scale"] = float(doc["scale"])
+        new = dataclasses.replace(old, **changes)
+        name = scene._names.get(eid, f"entity{eid}")
+        undo.push(f"edit {name}", old, make_toggle(eid))
+        store[eid] = new
+        invalidate()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            try:
+                if u.path == "/":
+                    page = VIEWER_HTML.replace("SPP0", str(args.spp))
+                    self._send(200, page.encode(), "text/html")
+                elif u.path == "/render":
+                    with lock:
+                        body = render_png(parse_qs(u.query))
+                    self._send(200, body, "image/png")
+                elif u.path == "/entities":
+                    self._send(200, json.dumps(entities_json()).encode())
+                elif u.path == "/info":
+                    with lock:
+                        center, radius = scene_center_radius(rscene())
+                    self._send(200, json.dumps({
+                        "radius": radius,
+                        "center": [float(x) for x in center],
+                        "undo": undo.undo_name, "redo": undo.redo_name,
+                    }).encode())
+                else:
+                    self._send(404, b"{}")
+            except Exception as e:  # surface errors to the client
+                self._send(500, json.dumps({"error": str(e)}).encode())
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                if u.path == "/edit":
+                    with lock:
+                        apply_edit(json.loads(raw))
+                    self._send(200, b'{"ok": true}')
+                elif u.path == "/undo":
+                    with lock:
+                        name = undo.undo()
+                    self._send(200, json.dumps({"undone": name}).encode())
+                elif u.path == "/redo":
+                    with lock:
+                        name = undo.redo()
+                    self._send(200, json.dumps({"redone": name}).encode())
+                else:
+                    self._send(404, b"{}")
+            except Exception as e:
+                self._send(500, json.dumps({"error": str(e)}).encode())
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    print(f"serving on http://127.0.0.1:{httpd.server_address[1]}/ "
+          f"(ctrl-c to stop)", flush=True)
+    httpd.serve_forever()
+
+
+# ---------------------------------------------------------------------------
+# Static HTML (default mode)
+# ---------------------------------------------------------------------------
+
+def write_static(scene: Scene):
+    arch, state, mapping = scene.compile_physics()
+    rscene = scene.build_render_scene(body_state=state, mapping=mapping)
+    center, radius = scene_center_radius(rscene)
+
+    from d3d12renderer_tpu.render.gbuffer import render_gbuffer
+    from d3d12renderer_tpu.render.pathtracer import (
+        PathTracerSettings, render, to_srgb_u8,
+    )
+
+    views = []
+    aux = []
+    for i in range(args.views):
+        ang = 2 * math.pi * i / args.views
+        cam = orbit_camera(center, radius, ang, math.asin(0.5 / math.sqrt(1.25)))
+        img = render(rscene, cam, args.size, args.size,
+                     PathTracerSettings(recursion_depth=2), spp=args.spp,
+                     key=jax.random.PRNGKey(i))
+        views.append((f"orbit {i * 360 // args.views}&deg;",
+                      png_b64(to_srgb_u8(img))))
+        if i == 0:
+            # Aux buffers from the first view (the editor's texture panels).
+            gb = render_gbuffer(rscene, cam, args.size, args.size)
+            from d3d12renderer_tpu.render import post
+            ao = post.hbao(gb.view_pos, gb.view_normal)
+            aux = [
+                ("normals", png_b64(((np.asarray(gb.normal) * 0.5 + 0.5)
+                                     * 255).astype(np.uint8))),
+                ("depth", png_b64(gray_u8(np.asarray(gb.depth)))),
+                ("object id", png_b64(gray_u8(np.asarray(gb.object_id)))),
+                ("AO", png_b64(gray_u8(np.asarray(ao)))),
+            ]
+
+    # Entity tree.
+    rows = []
+    for ent, _ in scene.view():
+        comps = [k for k in scene._components if ent.has(k)]
+        detail = []
+        for k in comps:
+            v = ent.get(k)
+            if k == "transform":
+                detail.append(
+                    f"transform: pos="
+                    f"{tuple(round(float(x), 3) for x in v.position)}")
+            elif k == "collider":
+                for c in v:
+                    detail.append(f"collider: {c.shape} size={tuple(c.size)}")
+            else:
+                detail.append(f"{k}: {html.escape(str(v)[:120])}")
+        rows.append((ent.id, ent.name, comps, detail))
+
+    total_pairs = sum(b.body_a.shape[0] for b in arch.contact_buckets)
+    joints = [(t.kind, t.body_a.shape[0]) for t in arch.joints]
+
+    parts = [f"""<!doctype html><html><head><meta charset="utf-8">
 <title>{html.escape(args.scene)}</title><style>
 body {{ font: 13px/1.5 system-ui, sans-serif; margin: 24px; background: #16181d; color: #d7dae0; }}
 h1, h2 {{ font-weight: 600; }} code {{ color: #9ecbff; }}
@@ -137,16 +479,17 @@ details {{ margin-left: 8px; }} .cell {{ display: inline-block; }}
 </style></head><body>
 <h1>Scene: <code>{html.escape(args.scene)}</code></h1>
 <h2>Views (path traced)</h2><div class="imgs">"""]
-for cap, b64 in views:
-    parts.append(f'<span class="cell"><img width="{args.size}" '
-                 f'src="data:image/png;base64,{b64}"><div class="cap">{cap}'
-                 f'</div></span>')
-parts.append('</div><h2>Render targets (first view)</h2><div class="imgs">')
-for cap, b64 in aux:
-    parts.append(f'<span class="cell"><img width="{args.size}" '
-                 f'src="data:image/png;base64,{b64}"><div class="cap">{cap}'
-                 f'</div></span>')
-parts.append(f"""</div>
+    for cap, b64 in views:
+        parts.append(f'<span class="cell"><img width="{args.size}" '
+                     f'src="data:image/png;base64,{b64}"><div class="cap">'
+                     f'{cap}</div></span>')
+    parts.append('</div><h2>Render targets (first view)</h2>'
+                 '<div class="imgs">')
+    for cap, b64 in aux:
+        parts.append(f'<span class="cell"><img width="{args.size}" '
+                     f'src="data:image/png;base64,{b64}"><div class="cap">'
+                     f'{cap}</div></span>')
+    parts.append(f"""</div>
 <h2>Physics</h2>
 <p>{arch.num_bodies} bodies &middot; {arch.num_colliders} colliders &middot;
 {arch.num_planes} planes &middot; {arch.num_terrains} terrains &middot;
@@ -154,15 +497,26 @@ parts.append(f"""</div>
 &middot; joints: {", ".join(f"{n} {k}" for k, n in joints) or "none"}</p>
 <h2>Entities ({len(rows)})</h2><table>
 <tr><th>id</th><th>name</th><th>components</th></tr>""")
-for eid, name, comps, detail in rows:
-    d = "<br>".join(html.escape(x) if not x.startswith("transform")
-                    else x for x in detail)
-    parts.append(f"<tr><td>{eid}</td><td>{html.escape(name)}</td>"
-                 f"<td><details><summary>{', '.join(comps)}</summary>"
-                 f"{d}</details></td></tr>")
-parts.append("</table></body></html>")
+    for eid, name, comps, detail in rows:
+        d = "<br>".join(html.escape(x) if not x.startswith("transform")
+                        else x for x in detail)
+        parts.append(f"<tr><td>{eid}</td><td>{html.escape(name)}</td>"
+                     f"<td><details><summary>{', '.join(comps)}</summary>"
+                     f"{d}</details></td></tr>")
+    parts.append("</table></body></html>")
 
-out = args.out or (args.scene.rsplit(".", 1)[0] + ".html")
-with open(out, "w") as f:
-    f.write("".join(parts))
-print(f"wrote {out} ({len(rows)} entities, {len(views)} views)")
+    out = args.out or (args.scene.rsplit(".", 1)[0] + ".html")
+    with open(out, "w") as f:
+        f.write("".join(parts))
+    print(f"wrote {out} ({len(rows)} entities, {len(views)} views)")
+
+
+if __name__ == "__main__":
+    scene = (build_demo_scene() if args.demo
+             else Scene.load_yaml(args.scene))
+    if args.serve:
+        serve(scene, args.port)
+    else:
+        if args.scene is None:
+            args.scene = "demo"
+        write_static(scene)
