@@ -38,6 +38,18 @@ def load_pytree(path: str) -> Any:
     )
 
 
+def load_pytree_sharded(path: str, shardings: Any) -> Any:
+    """Restore a snapshot onto a device mesh.
+
+    `shardings` is a pytree of jax.sharding.Sharding matching the saved
+    tree's structure (or a prefix of it, e.g. a TrainState of
+    NamedShardings) — each restored leaf is device_put with its sharding,
+    so a multi-chip trainer resumes with the exact layout it saved from.
+    Checkpoints themselves are layout-agnostic (host numpy), the same
+    single-file format save_pytree writes."""
+    return jax.device_put(load_pytree(path), shardings)
+
+
 class CheckpointManager:
     """Keep the N most recent checkpoints + best-by-metric
     (reference: SaveOnBestTrainingRewardCallback, learn_locomotion.py:18-56)."""
