@@ -170,19 +170,20 @@ def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
                                              arch.vs_terrain_segments)
 
     if arch.terrain_tri_exact:
+        from .gjk import make_shape_ref
         from .heightmap_collision import (
-            build_minmax_mips, vertex_vs_terrain_triangles,
+            build_minmax_mips, convex_vs_terrain_triangles,
         )
         levels = jax.vmap(build_minmax_mips)(arch.terrain_height)
 
-        def tri_rows(ci_s, ti_s, verts, vmask):
-            def one(ti_r, v, vm):
+        def tri_rows(ci_s, ti_s, verts, vmask, col_ref):
+            def one(ti_r, v, vm, ref):
                 lev = [(l[ti_r], g[ti_r]) for (l, g) in levels]
-                return vertex_vs_terrain_triangles(
+                return convex_vs_terrain_triangles(
                     arch.terrain_height[ti_r], lev,
                     arch.terrain_origin[ti_r], arch.terrain_cell[ti_r],
-                    v, vm)
-            return jax.vmap(one)(ti_s, verts, vmask)
+                    v, vm, ref)
+            return jax.vmap(one)(ti_s, verts, vmask, col_ref)
 
         for (stype, s, e) in arch.vs_terrain_segments:
             if stype == SHAPE_BOX:
@@ -197,7 +198,13 @@ def _vs_terrain_manifolds(arch: SceneArchetype, wpos, wrot):
                 vmask = arch.col_hull_mask[ci[s:e]]
             else:
                 continue
-            tp, td, tm, tn, tov = tri_rows(ci[s:e], ti[s:e], verts, vmask)
+            col_ref = make_shape_ref(
+                arch.col_type[ci[s:e]], arch.col_size[ci[s:e]],
+                cpos[s:e], crot[s:e],
+                hull_verts=arch.col_hull_verts[ci[s:e]],
+                hull_mask=arch.col_hull_mask[ci[s:e]])
+            tp, td, tm, tn, tov = tri_rows(ci[s:e], ti[s:e], verts, vmask,
+                                           col_ref)
             # Mip-descent overflow means candidate cells were dropped (the
             # collider AABB spans more than MIP_CANDIDATES cells at a level);
             # those rows keep the bilinear tangent-plane manifold instead of

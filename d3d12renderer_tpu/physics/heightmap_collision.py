@@ -97,19 +97,13 @@ def _descend(levels, origin, cell, lo3, hi3, k=MIP_CANDIDATES):
     return ci, valid, overflow
 
 
-def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
-    """Deepest <=4 vertex-vs-triangle contacts of one vertex cloud vs one
-    heightfield.  Returns (points (4,3), depths (4,), mask (4,), normal (3,),
-    overflow ()) — overflow > 0 means the mip descent dropped candidate cells
-    (collider AABB spans more than MIP_CANDIDATES cells at some level) and
-    the caller should fall back to the tangent-plane manifold for this row.
+def _candidate_tris(heights, levels, origin, cell, lo3, hi3):
+    """AABB -> candidate terrain triangles via the mip descent.
 
-    Triangulation matches terrain.heightmap_mesh: cell (i,j) splits into
-    [(i,j),(i+1,j),(i,j+1)] and [(i,j+1),(i+1,j),(i+1,j+1)]."""
-    big = jnp.where(vmask[:, None], verts, jnp.inf)
-    small = jnp.where(vmask[:, None], verts, -jnp.inf)
-    lo3 = jnp.min(big, axis=0)
-    hi3 = jnp.max(small, axis=0)
+    Returns (tv (2K,3,3) world triangle vertices, tvalid (2K,), n (2K,3)
+    upward unit normals, overflow ()).  Triangulation matches
+    terrain.heightmap_mesh: cell (i,j) splits into [(i,j),(i+1,j),(i,j+1)]
+    and [(i,j+1),(i+1,j),(i+1,j+1)]."""
     cells, cvalid, overflow = _descend(levels, origin, cell, lo3, hi3)
 
     r0, r1 = heights.shape
@@ -135,6 +129,22 @@ def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
     n = jnp.cross(b - a, c - a)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     n = jnp.where(n[:, 1:2] < 0, -n, n)               # upward
+    return tv, tvalid, n, overflow
+
+
+def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
+    """Deepest <=4 vertex-vs-triangle contacts of one vertex cloud vs one
+    heightfield.  Returns (points (4,3), depths (4,), mask (4,), normal (3,),
+    overflow ()) — overflow > 0 means the mip descent dropped candidate cells
+    (collider AABB spans more than MIP_CANDIDATES cells at some level) and
+    the caller should fall back to the tangent-plane manifold for this row."""
+    big = jnp.where(vmask[:, None], verts, jnp.inf)
+    small = jnp.where(vmask[:, None], verts, -jnp.inf)
+    lo3 = jnp.min(big, axis=0)
+    hi3 = jnp.max(small, axis=0)
+    tv, tvalid, n, overflow = _candidate_tris(
+        heights, levels, origin, cell, lo3, hi3)
+    a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
 
     # Vertex-in-triangle (xz projection) via 2D barycentrics.
     v2 = verts[:, None, ::2]                          # (V, 1, 2) x,z
@@ -166,4 +176,93 @@ def vertex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask):
     blended = jnp.sum(w * n[ti], axis=0)
     blen = jnp.linalg.norm(blended)
     normal = jnp.where(blen > 1e-9, blended / jnp.maximum(blen, 1e-9), n[ti[0]])
+    return points, depths, mask, normal, overflow
+
+
+def convex_vs_terrain_triangles(heights, levels, origin, cell, verts, vmask,
+                                col_ref):
+    """Full convex-vs-triangle contacts: vertex tests + GJK/EPA per triangle.
+
+    The vertex test alone misses edge/face cases — a wide flat hull
+    straddling a sharp ridge has no vertex below any triangle, yet the crest
+    penetrates the hull's bottom face (reference handles the general collider
+    surface, src/physics/heightmap_collision.cpp:509).  Here each candidate
+    triangle additionally runs batched GJK/EPA against the collider (the
+    triangle as a 3-vertex hull), which produces exactly those
+    edge-edge / face-vertex contacts; the deepest 4 across both sources form
+    the manifold.
+
+    `col_ref` is ONE ShapeRef row (unbatched leaves) for the collider.
+    Returns (points (4,3), depths (4,), mask (4,), normal (3,), overflow ())
+    like vertex_vs_terrain_triangles."""
+    from .gjk import ShapeRef, gjk_epa_contact
+    from .types import SHAPE_HULL
+
+    big = jnp.where(vmask[:, None], verts, jnp.inf)
+    small = jnp.where(vmask[:, None], verts, -jnp.inf)
+    lo3 = jnp.min(big, axis=0)
+    hi3 = jnp.max(small, axis=0)
+    tv, tvalid, n, overflow = _candidate_tris(
+        heights, levels, origin, cell, lo3, hi3)
+    a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
+    nt = tv.shape[0]                                   # 2K triangles
+
+    # --- vertex-vs-triangle table (same math as the vertex path) ----------
+    v2 = verts[:, None, ::2]
+    a2, b2, c2 = a[None, :, ::2], b[None, :, ::2], c[None, :, ::2]
+    d00 = b2 - a2
+    d01 = c2 - a2
+    dp = v2 - a2
+    den = d00[..., 0] * d01[..., 1] - d00[..., 1] * d01[..., 0]
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    bu = (dp[..., 0] * d01[..., 1] - dp[..., 1] * d01[..., 0]) / den
+    bv = (d00[..., 0] * dp[..., 1] - d00[..., 1] * dp[..., 0]) / den
+    inside = (bu >= -1e-4) & (bv >= -1e-4) & (bu + bv <= 1.0 + 1e-4)
+    vdepth = jnp.sum(n[None] * (a[None] - verts[:, None]), -1)
+    vok = inside & (vdepth > 0) & tvalid[None, :] & vmask[:, None]
+    flat_d = jnp.where(vok, vdepth, -jnp.inf).reshape(-1)   # (V*2K,)
+
+    # --- GJK/EPA: collider vs each candidate triangle ---------------------
+    def bcast(x):
+        return jnp.broadcast_to(x, (nt,) + x.shape)
+
+    tri_ref = ShapeRef(
+        shape_type=jnp.full((nt,), SHAPE_HULL, jnp.int32),
+        size=jnp.zeros((nt, 3)),
+        pos=jnp.zeros((nt, 3)),
+        rot=jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]), (nt, 4)),
+        hull_verts=tv,                                  # world coords, pos=0
+        hull_mask=jnp.ones((nt, 3), bool),
+        margin=jnp.zeros((nt,)),
+    )
+    col_b = ShapeRef(*[bcast(leaf) for leaf in col_ref])
+    # normal tri->collider (a->b) points off the terrain surface.
+    g_n, g_p, g_d, g_hit = gjk_epa_contact(tri_ref, col_b)
+    g_n = g_n.reshape(nt, 3)
+    g_p = g_p.reshape(nt, 3)
+    g_d = g_d.reshape(nt)
+    # Half-space consistency: keep only contacts pushing out of the terrain
+    # surface (rejects pop-through-the-bottom MTDs of the zero-thickness
+    # triangle treated as a solid hull).
+    g_ok = (g_hit.reshape(nt) & tvalid & (g_d > 0)
+            & (jnp.sum(g_n * n, -1) > 0.0))
+    g_dm = jnp.where(g_ok, g_d, -jnp.inf)
+
+    # --- merge: deepest 4 across both sources -----------------------------
+    all_d = jnp.concatenate([flat_d, g_dm])
+    vals, sel = jax.lax.top_k(all_d, 4)
+    is_g = sel >= flat_d.shape[0]
+    vsel = jnp.minimum(sel, flat_d.shape[0] - 1)
+    vi = vsel // nt
+    ti = vsel % nt
+    gsel = jnp.clip(sel - flat_d.shape[0], 0, nt - 1)
+    points = jnp.where(is_g[:, None], g_p[gsel], verts[vi])
+    per_n = jnp.where(is_g[:, None], g_n[gsel], n[ti])
+    mask = vals > 0
+    depths = jnp.where(mask, vals, 0.0)
+    w = jnp.where(mask, vals, 0.0)[:, None]
+    blended = jnp.sum(w * per_n, axis=0)
+    blen = jnp.linalg.norm(blended)
+    normal = jnp.where(blen > 1e-9, blended / jnp.maximum(blen, 1e-9),
+                       per_n[0])
     return points, depths, mask, normal, overflow

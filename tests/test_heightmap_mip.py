@@ -81,6 +81,85 @@ def test_cliff_contact_found_only_by_triangles():
     assert ni[0] < -0.3
 
 
+def test_ridge_edge_contact_needs_convex_path():
+    """A wide flat box straddling a sharp ridge: no box VERTEX is below any
+    triangle (they hang over the downslopes), but the crest penetrates the
+    box's bottom face.  The vertex-only narrowphase misses it; the convex
+    (GJK per candidate triangle) path must find an upward contact with the
+    scalar-predicted depth (reference handles the general collider surface,
+    src/physics/heightmap_collision.cpp:509)."""
+    from d3d12renderer_tpu.physics.gjk import ShapeRef, make_shape_ref
+    from d3d12renderer_tpu.physics.heightmap_collision import (
+        convex_vs_terrain_triangles,
+    )
+    from d3d12renderer_tpu.physics.types import SHAPE_BOX
+
+    i = np.arange(9, dtype=np.float32)
+    h = np.broadcast_to((2.0 - 0.5 * np.abs(i - 4.0))[:, None], (9, 9)).copy()
+    levels = build_minmax_mips(h)
+    origin = jnp.zeros(3)
+
+    half = jnp.array([1.5, 0.1, 0.5])
+    center = jnp.array([4.0, 2.05, 4.0])     # bottom face at y=1.95
+    signs = np.array([[sx, sy, sz] for sx in (-1, 1)
+                      for sy in (-1, 1) for sz in (-1, 1)], np.float32)
+    verts = center + jnp.asarray(signs) * half
+    vmask = jnp.ones(8, bool)
+
+    # Scalar reference: deepest slope point under any bottom vertex.
+    bottom = np.asarray(verts)[np.asarray(signs)[:, 1] < 0]
+    terr = 2.0 - 0.5 * np.abs(bottom[:, 0] - 4.0)
+    assert (bottom[:, 1] > terr).all(), "setup: vertices must clear slopes"
+
+    pts_v, dep_v, msk_v, _, ov_v = vertex_vs_terrain_triangles(
+        jnp.asarray(h), levels, origin, jnp.asarray(1.0), verts, vmask)
+    assert int(ov_v) == 0
+    assert not bool(np.asarray(msk_v).any()), "vertex path must miss"
+
+    ref_b = make_shape_ref(
+        jnp.array([SHAPE_BOX]), half[None], center[None],
+        jnp.array([[0.0, 0.0, 0.0, 1.0]]))
+    col_ref = ShapeRef(*[leaf[0] for leaf in ref_b])
+    pts, dep, msk, n, ov = convex_vs_terrain_triangles(
+        jnp.asarray(h), levels, origin, jnp.asarray(1.0), verts, vmask,
+        col_ref)
+    assert int(ov) == 0
+    assert bool(np.asarray(msk).any()), "convex path must hit the crest"
+    d0 = float(np.asarray(dep)[np.asarray(msk)].max())
+    # Scalar: crest y=2.0 into bottom face y=1.95 -> 0.05 (sampled-MTD is an
+    # upper bound that converges from above).
+    assert 0.03 <= d0 <= 0.12, f"depth {d0} vs scalar 0.05"
+    assert float(n[1]) > 0.9, f"normal should push up, got {np.asarray(n)}"
+    p = np.asarray(pts)[np.asarray(msk)]
+    assert np.all(np.abs(p[:, 0] - 4.0) < 1.1), "contacts near the crest"
+
+
+@pytest.mark.slow
+def test_flat_hull_rests_on_ridge():
+    """Integration: the wide flat box dropped on the ridge must come to rest
+    ON the crest (bottom ~ crest height), not sink until its vertices reach
+    the downslopes."""
+    i = np.arange(9, dtype=np.float32)
+    h = np.broadcast_to((2.0 - 0.5 * np.abs(i - 4.0))[:, None], (9, 9)).copy()
+
+    b = SceneBuilder()
+    body = b.add_body(position=(4.0, 2.6, 4.0), linear_damping=0.2,
+                      angular_damping=0.5)
+    b.add_box_collider(body, (1.5, 0.1, 0.5), friction=0.9)
+    b.add_terrain(h, origin=(0.0, 0.0, 0.0), cell_size=1.0)
+    arch, state = b.finalize(terrain_collision="triangles")
+    settings = PhysicsSettings()
+    step = jax.jit(lambda s: physics_step(arch, s, settings, 1 / 60,
+                                          num_substeps=2)[0])
+    for _ in range(240):
+        state = step(state)
+    y = float(state.pos[0, 1])
+    # Resting on the crest: center = 2.0 + 0.1 half-thickness (allow a bit of
+    # rocking); vertex-only collision would let it sink to ~1.45.
+    assert y > 1.95, f"box sank through the ridge crest: y={y}"
+    assert y < 2.25, f"box hovering unexpectedly: y={y}"
+
+
 @pytest.mark.slow
 def test_box_rests_on_terrain_triangles():
     h = np.full((9, 9), 1.5, np.float32)
