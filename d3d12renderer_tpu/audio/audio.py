@@ -68,6 +68,13 @@ class AudioEngine:
         self._voices: Dict[int, _Voice] = {}
         self._next = 0
         self.events: List[dict] = []
+        # Deterministic timeline for offline mixdown: advance() moves the
+        # clock; play/stop/update events are stamped with it.
+        self.clock = 0.0
+
+    def advance(self, dt: float):
+        """Advance the engine timeline (one sim/frame tick)."""
+        self.clock += float(dt)
 
     # -- playback (reference: play2DSound/play3DSound) -----------------------
 
@@ -91,7 +98,7 @@ class AudioEngine:
         self._next += 1
         self._voices[vid] = voice
         self.events.append({
-            "event": "play", "id": vid, "path": voice.path,
+            "event": "play", "id": vid, "t": self.clock, "path": voice.path,
             "type": voice.sound_type, "volume": voice.volume,
             "pitch": voice.pitch, "position": voice.position,
             "effective_volume": self.effective_volume(vid, voice),
@@ -101,14 +108,16 @@ class AudioEngine:
     def stop(self, vid: int):
         if vid in self._voices and self._voices[vid].playing:
             self._voices[vid].playing = False
-            self.events.append({"event": "stop", "id": vid})
+            self.events.append({"event": "stop", "id": vid,
+                                "t": self.clock})
 
     def _update(self, vid: int, **kw):
         v = self._voices.get(vid)
         if v:
             for k, val in kw.items():
                 setattr(v, k, val)
-            self.events.append({"event": "update", "id": vid, **kw})
+            self.events.append({"event": "update", "id": vid,
+                                "t": self.clock, **kw})
 
     # -- mixing model (reference: submix voices per sound type + 3D pan) ------
 

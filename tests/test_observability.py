@@ -130,3 +130,68 @@ def test_audio_engine_events():
     assert kinds.count("play") == 2 and "stop" in kinds and "reverb" in kinds
     synth = eng.play_synth(sine_synth(220.0))
     assert synth.id in eng.active_voices()
+
+
+def test_audio_mixdown_wav(tmp_path):
+    """Offline mixdown: events -> stereo buffer -> WAV roundtrip
+    (reference: the XAudio2 source->submix->master graph, audio/channel.cpp,
+    rendered offline since no device is in scope)."""
+    import wave as wave_mod
+
+    from d3d12renderer_tpu.audio.mixdown import mixdown, write_wav
+
+    eng = AudioEngine()
+    eng.set_listener((0, 0, 0), forward=(0, 0, -1))
+    eng.play_synth(sine_synth(440.0), volume=0.5)
+    # 3D voice to the listener's LEFT (forward -z => right = (-1, 0, 0)).
+    eng.play_sound_3d("left_cue.wav", position=(3.0, 0.0, 0.0), volume=1.0)
+    eng.advance(0.25)
+    h = eng.play_synth(sine_synth(880.0), volume=0.4)
+    eng.advance(0.25)
+    h.stop()
+    sr = 22050
+    buf = mixdown(eng, duration=1.0, sample_rate=sr)
+    assert buf.shape == (sr, 2)
+    assert np.isfinite(buf).all()
+    rms = float(np.sqrt((buf ** 2).mean()))
+    assert rms > 1e-3, "mix should not be silent"
+    # The +x 3D cue must bias one channel (constant-power pan).
+    lr = np.sqrt((buf ** 2).mean(0))
+    assert abs(lr[0] - lr[1]) / max(lr.max(), 1e-9) > 0.02
+    # The 880 Hz voice exists only in [0.25, 0.5): that window is louder
+    # than the same-length window after its stop.
+    w1 = float(np.abs(buf[int(0.3 * sr):int(0.45 * sr)]).mean())
+    w2 = float(np.abs(buf[int(0.55 * sr):int(0.7 * sr)]).mean())
+    assert w1 > w2
+
+    # Reverb lengthens the tail: a voice stopped at 0.2 s leaves silence
+    # dry, but echo energy with the cave comb.
+    eng_t = AudioEngine()
+    ht = eng_t.play_synth(sine_synth(440.0), volume=0.8)
+    eng_t.advance(0.2)
+    ht.stop()
+    dry = mixdown(eng_t, duration=1.0, sample_rate=sr)
+    eng_t.set_reverb("cave")
+    wet = mixdown(eng_t, duration=1.0, sample_rate=sr)
+    t_dry = float(np.abs(dry[int(0.5 * sr):]).mean())
+    t_wet = float(np.abs(wet[int(0.5 * sr):]).mean())
+    assert t_dry < 1e-6 and t_wet > 10 * max(t_dry, 1e-9)
+
+    path = str(tmp_path / "mix.wav")
+    write_wav(path, buf, sr)
+    with wave_mod.open(path, "rb") as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == sr
+        assert w.getnframes() == sr
+
+    # A real PCM wav on disk is decoded (not placeholder-toned): write one,
+    # play it, and check its frequency survives the mix.
+    tone = np.sin(2 * np.pi * 330.0 * np.arange(sr) / sr) * 0.9
+    src_path = str(tmp_path / "src.wav")
+    write_wav(src_path, np.stack([tone, tone], -1).astype(np.float32), sr)
+    eng2 = AudioEngine()
+    eng2.play_sound_2d(src_path, volume=1.0)
+    buf2 = mixdown(eng2, duration=0.5, sample_rate=sr)
+    spec = np.abs(np.fft.rfft(buf2[:, 0]))
+    peak_hz = float(np.argmax(spec)) / 0.5
+    assert abs(peak_hz - 330.0) < 10.0, f"decoded tone at {peak_hz} Hz"
