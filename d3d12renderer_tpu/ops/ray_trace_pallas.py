@@ -148,66 +148,112 @@ def _cluster_cull(origin, direction, t_max, lo, hi, group=64):
     return ids, counts
 
 
-def _culled_kernel(ids_ref, counts_ref, o_ref, d_ref, tmax_ref, tri_ref,
-                   t_ref, tri_id_ref, u_ref, v_ref):
-    """Same math as _kernel, but the chunk visited at grid step (rb, i) is
-    ids[rb, i]; steps with i >= counts[rb] are no-ops (their BlockSpec maps to
-    the previous chunk, so they cost neither DMA nor compute)."""
-    rb = pl.program_id(0)
-    i = pl.program_id(1)
+def _flat_visits(ids, counts):
+    """Compact per-block chunk lists into ONE sorted visit list.
 
-    @pl.when(i == 0)
+    ids (sb, nc) / counts (sb,) from _cluster_cull -> (packed, total):
+    packed (sb*nc,) int32 where entry v of the first `total` is
+    (ray_block << 16) | chunk_index, sorted by block then chunk; the tail is
+    a 0x7fffffff sentinel (never visited — the kernel grid is `total`).
+
+    This is what lets the kernel grid be the NUMBER OF REAL VISITS instead
+    of sb*nc: at 500k tris a coherent 1080p frame needs ~7 of ~500 chunks
+    per block, and iterating the ~99% skipped (rb, chunk) steps cost 2.5x
+    the real work (measured: 353 ms kernel for ~100 ms of visits)."""
+    sb, nc = ids.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 1)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 0)
+    valid = col < counts[:, None]
+    packed = jnp.where(valid, (blk << 16) | ids, jnp.int32(0x7FFFFFFF))
+    return jnp.sort(packed.ravel()), jnp.sum(counts)
+
+
+def _spread5(x):
+    """Spread the low 5 bits of x to every 3rd bit (Morton interleave)."""
+    x = (x | (x << 8)) & 0x100F
+    x = (x | (x << 4)) & 0x10C3
+    x = (x | (x << 2)) & 0x1249
+    return x
+
+
+def regroup_perm(o, d, lo, hi):
+    """Coherence-restoring ray order: direction octant (3 bits), then a
+    5-bit/axis Morton code of the origin inside the scene AABB.  Rays in
+    the same octant+cell land in the same RAY_BLOCK kernel block, so
+    per-block cluster culling prunes like it does for primary tiles.
+    (This replaces per-ray traversal divergence handling in the reference's
+    DXR path, raytracing.h:41-53 — on TPU coherence is a BLOCK property.)"""
+    oct_ = ((d[:, 0] > 0).astype(jnp.uint32) * 4
+            + (d[:, 1] > 0).astype(jnp.uint32) * 2
+            + (d[:, 2] > 0).astype(jnp.uint32))
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0,
+                 0.0, 31.0).astype(jnp.uint32)
+    morton = ((_spread5(q[:, 0]) << 2) | (_spread5(q[:, 1]) << 1)
+              | _spread5(q[:, 2]))
+    return jnp.argsort((oct_ << 15) | morton)
+
+
+def _culled_kernel(packed_ref, o_ref, d_ref, tmax_ref, tri_ref,
+                   t_ref, tri_id_ref, u_ref, v_ref):
+    """Same math as _kernel, but grid step v processes the visit
+    packed[v] = (ray_block << 16) | chunk: the BlockSpecs route the right
+    ray block and triangle chunk in, and outputs re-init whenever the ray
+    block changes (visits are sorted by block, so output blocks are
+    revisited consecutively)."""
+    v_id = pl.program_id(0)
+    blk = packed_ref[v_id] >> 16
+    prev = packed_ref[jnp.maximum(v_id, 1) - 1] >> 16
+
+    @pl.when((v_id == 0) | (blk != prev))
     def _init():
         t_ref[:] = tmax_ref[:]
         tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
         u_ref[:] = jnp.zeros_like(u_ref)
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    @pl.when(i < counts_ref[rb])
-    def _compute():
-        o = o_ref[:]
-        d = d_ref[:]
-        tri = tri_ref[:]
-        n = tri[0:3]
-        n_off = tri[3]
-        e1p = tri[4:7]
-        e1_off = tri[7]
-        e2p = tri[8:11]
-        e2_off = tri[11]
-        valid = tri[12]
+    o = o_ref[:]
+    d = d_ref[:]
+    tri = tri_ref[:]
+    n = tri[0:3]
+    n_off = tri[3]
+    e1p = tri[4:7]
+    e1_off = tri[7]
+    e2p = tri[8:11]
+    e2_off = tri[11]
+    valid = tri[12]
 
-        no = jnp.dot(o, n, preferred_element_type=jnp.float32)
-        nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
-        t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
-        uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
-        ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
-        vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
-        vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
-        u = uo + t * ud + e1_off[None, :]
-        v = vo + t * vd + e2_off[None, :]
+    no = jnp.dot(o, n, preferred_element_type=jnp.float32)
+    nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
+    t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
+    uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
+    ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
+    vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
+    vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
+    u = uo + t * ud + e1_off[None, :]
+    v = vo + t * vd + e2_off[None, :]
 
-        t_best = t_ref[:]
-        ok = (
-            (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
-            & (u >= 0) & (v >= 0) & (u + v <= 1)
-        )
-        t_m = jnp.where(ok, t, jnp.inf)
-        c = t_m.shape[1]
-        t_min = jnp.min(t_m, axis=-1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-        is_min = t_m == t_min[:, None]
-        first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
-        sel = cols == first[:, None]
-        uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
-        vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+    t_best = t_ref[:]
+    ok = (
+        (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
+        & (u >= 0) & (v >= 0) & (u + v <= 1)
+    )
+    t_m = jnp.where(ok, t, jnp.inf)
+    c = t_m.shape[1]
+    t_min = jnp.min(t_m, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+    is_min = t_m == t_min[:, None]
+    first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
+    sel = cols == first[:, None]
+    uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
+    vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
 
-        better = t_min < t_best
-        chunk = ids_ref[rb, i]
-        base = chunk * c
-        t_ref[:] = jnp.where(better, t_min, t_best)
-        tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
-        u_ref[:] = jnp.where(better, uk, u_ref[:])
-        v_ref[:] = jnp.where(better, vk, v_ref[:])
+    better = t_min < t_best
+    chunk = packed_ref[v_id] & 0xFFFF
+    base = chunk * c
+    t_ref[:] = jnp.where(better, t_min, t_best)
+    tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
+    u_ref[:] = jnp.where(better, uk, u_ref[:])
+    v_ref[:] = jnp.where(better, vk, v_ref[:])
 
 
 SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
@@ -221,14 +267,31 @@ def _slab_blocks_for(nc: int) -> int:
 
 
 def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
-                              interpret=False):
+                              interpret=False, regroup=False):
     """Two-level closest hit: cluster-AABB culling + compacted chunk visits.
 
     Scales past the brute-force kernel's rays x ALL-tris cost: each ray block
     only DMAs and intersects the triangle chunks whose cluster AABB it can
     hit.  Exact — culling only skips chunks that cannot contain a hit.
     Rays run in SLAB_BLOCKS-block slabs so the scalar-prefetched id table
-    stays within SMEM."""
+    stays within SMEM.
+
+    regroup=True sorts the rays by (direction octant, origin Morton cell)
+    first and inverse-scatters the outputs — an exact permutation that
+    restores block coherence for scattered (bounce-like) rays."""
+    if regroup:
+        lo = jnp.min(dense.cluster_lo, axis=0)
+        hi = jnp.max(dense.cluster_hi, axis=0)
+        perm = regroup_perm(origin, direction, lo, hi)
+        tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                              (origin.shape[0],))
+        res = closest_hit_pallas_culled(
+            dense, origin[perm], direction[perm], t_max=tm[perm],
+            interpret=interpret, regroup=False)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+        return {k: v[inv] for k, v in res.items()}
+
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
@@ -248,26 +311,11 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tmax = jnp.pad(tmax, (0, pad_r))
     nslabs = o.shape[0] // slab
 
-    ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda rb, i, ids, cnt: (rb, 0),
+    ray_spec = pl.BlockSpec((RAY_BLOCK, 3),
+                            lambda v, pk: (pk[v] >> 16, 0),
                             memory_space=pltpu.VMEM)
-    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda rb, i, ids, cnt: (rb,),
+    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda v, pk: (pk[v] >> 16,),
                            memory_space=pltpu.VMEM)
-
-    def tri_index(rb, i, ids, cnt):
-        # Clamp padded steps to the last real chunk: same block index as the
-        # previous step => Pallas skips the DMA entirely.
-        return (0, ids[rb, jnp.minimum(i, cnt[rb] - 1)])
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(sb, nc),
-        in_specs=[
-            ray_spec, ray_spec, per_ray,
-            pl.BlockSpec((16, TRI_CHUNK), tri_index,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(per_ray, per_ray, per_ray, per_ray),
-    )
     out_shapes = (
         jax.ShapeDtypeStruct((slab,), jnp.float32),
         jax.ShapeDtypeStruct((slab,), jnp.int32),
@@ -284,12 +332,24 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
             dense.cluster_lo, dense.cluster_hi,
             group=sb,
         )
+        packed, total = _flat_visits(ids, counts)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(total,),  # DYNAMIC: exactly the real visits, no skipped steps
+            in_specs=[
+                ray_spec, ray_spec, per_ray,
+                pl.BlockSpec((16, TRI_CHUNK),
+                             lambda v, pk: (0, pk[v] & 0xFFFF),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(per_ray, per_ray, per_ray, per_ray),
+        )
         return pl.pallas_call(
             _culled_kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
-        )(ids, counts, o_s, d_s, tm_s, tbl)
+        )(packed, o_s, d_s, tm_s, tbl)
 
     if nslabs == 1:
         t, tri, u, v = one_slab((o, d, tmax))
@@ -309,16 +369,18 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
 
 
 def closest_hit_pallas(dense, origin, direction, t_max=1e30,
-                       interpret=False):
+                       interpret=False, regroup=False):
     """Drop-in closest hit over a DenseTris table.
 
     origin/direction (R, 3); returns {t, tri, uv, hit} like closest_hit.
     Routes through the two-level culled kernel when the table spans more
-    than one chunk and cluster AABBs exist."""
+    than one chunk and cluster AABBs exist; `regroup` restores block
+    coherence for scattered rays there (no-op on the single-chunk path)."""
     if (getattr(dense, "cluster_lo", None) is not None
             and dense.n.shape[0] > TRI_CHUNK):
         return closest_hit_pallas_culled(dense, origin, direction,
-                                         t_max=t_max, interpret=interpret)
+                                         t_max=t_max, interpret=interpret,
+                                         regroup=regroup)
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
 
