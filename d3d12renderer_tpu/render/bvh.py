@@ -405,16 +405,19 @@ def closest_hit_dense(dense: DenseTris, origin, direction, t_max=1e30,
     return {"t": t_best, "tri": tri_best, "uv": uv_best, "hit": tri_best >= 0}
 
 
-def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512):
+def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512,
+                regroup=False):
     """Vectorized closest-hit traversal.
 
     origin/direction (R, 3).  Returns dict of (R,) arrays:
-    t, tri (int32, -1 = miss), u, v."""
+    t, tri (int32, -1 = miss), u, v.  `regroup` restores ray-block
+    coherence on the Pallas culled path (exact permutation; ignored by the
+    other backends, where blocks have no culling to exploit)."""
     if bvh.dense is not None:
         if _RAY_BACKEND == "pallas":
             from ..ops.ray_trace_pallas import closest_hit_pallas
             return closest_hit_pallas(bvh.dense, origin, direction,
-                                      t_max=t_max)
+                                      t_max=t_max, regroup=regroup)
         if bvh.dense.n.shape[0] <= DENSE_XLA_MAX_TRIS:
             return closest_hit_dense(bvh.dense, origin, direction,
                                      t_max=t_max)

@@ -305,8 +305,22 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
     # Row -> original-pixel mapping, updated when bounce rays are re-sorted.
     order = jnp.arange(r)
     sort_rays = settings.sort_bounce_rays
-    if sort_rays == "auto":
-        sort_rays = r >= 200_000  # measured crossover (PERF.md)
+    # On the Pallas culled backend, bounce coherence is restored INSIDE the
+    # kernel call (closest_hit regroup=True): only o/d/t_max permute and the
+    # 4 outputs inverse-scatter, vs this loop's full-payload wavefront sort.
+    # That is cheap enough to win at ANY wavefront size (the 200k crossover
+    # was the payload sort's cost), so "auto" always enables it there.
+    pallas_regroup = (
+        bvh_mod._RAY_BACKEND == "pallas" and scene.bvh.dense is not None
+        and scene.bvh.dense.cluster_lo is not None
+        and scene.bvh.dense.n.shape[0] > 1024)
+    if pallas_regroup:
+        regroup_bounces = sort_rays is not False
+        sort_rays = False
+    else:
+        regroup_bounces = False
+        if sort_rays == "auto":
+            sort_rays = r >= 200_000  # measured crossover (PERF.md)
     if sort_rays:
         # Scene AABB = the BVH root node's bounds.
         scene_lo = scene.bvh.node_min[0]
@@ -320,7 +334,8 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             alive, order = alive[perm], order[perm]
         key, k_hit, k_rr, k_sun = jax.random.split(key, 4)
         res = bvh_mod.closest_hit(
-            scene.bvh, o, d, max_steps=settings.max_traversal_steps
+            scene.bvh, o, d, max_steps=settings.max_traversal_steps,
+            regroup=regroup_bounces and bounce > 0,
         )
         hit = res["hit"] & alive
 

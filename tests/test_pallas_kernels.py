@@ -102,6 +102,42 @@ def test_ray_trace_culled_matches_dense():
                                   np.asarray(ref["tri"])[m])
 
 
+def test_ray_trace_culled_regroup_parity():
+    """regroup=True (octant+Morton in-call resort) is an exact permutation:
+    results equal the unsorted call for scattered rays."""
+    from d3d12renderer_tpu.ops.ray_trace_pallas import (
+        TRI_CHUNK, closest_hit_pallas_culled,
+    )
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    rng = np.random.default_rng(11)
+    meshes = []
+    for i in range(6):
+        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
+            translate=tuple(rng.uniform(-3, 3, 3)))
+        meshes.append((s, i))
+    b = bvh_mod.build_bvh(meshes)
+    assert b.dense.n.shape[0] > TRI_CHUNK
+
+    R = 2048
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # Per-ray t_max exercises the t_max permutation path too.
+    tm = jnp.asarray(rng.uniform(2.0, 30.0, (R,)).astype(np.float32))
+
+    base = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                     t_max=tm, interpret=True)
+    rg = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                   t_max=tm, interpret=True, regroup=True)
+    for k in ("t", "tri", "hit"):
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(rg[k]),
+                                      err_msg=k)
+    np.testing.assert_array_equal(np.asarray(base["uv"]),
+                                  np.asarray(rg["uv"]))
+
+
 @pytest.mark.slow
 def test_ray_trace_culled_adaptive_slab_big_scene():
     """Big-scene path: >64 chunks shrinks the per-call slab so the
