@@ -97,13 +97,16 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True) -> BVH
     nodes = []  # (min, max, first, count) — children at n+1; miss patched later
 
     order: List[np.ndarray] = []
+    placed = [0]  # running leaf-triangle total (NOT re-summed per leaf:
+                  # that was accidentally quadratic — 276 s at 123k tris)
 
     def emit(tri_idx) -> int:
         my = len(nodes)
         bb_lo = lo[tri_idx].min(axis=0)
         bb_hi = hi[tri_idx].max(axis=0)
         if len(tri_idx) <= LEAF_SIZE:
-            first = sum(len(o) for o in order)
+            first = placed[0]
+            placed[0] += len(tri_idx)
             order.append(tri_idx)
             nodes.append([bb_lo, bb_hi, first, len(tri_idx)])
             return my
