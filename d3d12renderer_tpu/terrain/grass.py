@@ -57,6 +57,85 @@ def wind_offset(positions, time, strength=0.3, frequency=1.3):
     return off
 
 
+def chunk_grass(blades, origin, world_size, chunk_size=8.0):
+    """Assign blades to a fixed square chunk grid; per-chunk bounding spheres.
+
+    Returns (chunk_id (N,), centers (G*G,3), radii (G*G,), nonempty (G*G,)).
+    The TPU equivalent of the reference's per-chunk grass generation+culling
+    (src/terrain/grass.h:21-39: one dispatch per visible chunk): chunks are
+    a STATIC grid; visibility is a mask, not a dispatch decision."""
+    import numpy as np
+
+    pos = blades["position"]
+    valid = blades["valid"]
+    g = max(1, int(np.ceil(float(world_size) / chunk_size)))
+    cx = jnp.clip(((pos[:, 0] - origin[0]) / chunk_size).astype(jnp.int32),
+                  0, g - 1)
+    cz = jnp.clip(((pos[:, 2] - origin[2]) / chunk_size).astype(jnp.int32),
+                  0, g - 1)
+    cid = cx * g + cz
+
+    big = jnp.where(valid[:, None], pos, jnp.inf)
+    small = jnp.where(valid[:, None], pos, -jnp.inf)
+    lo = jnp.full((g * g, 3), jnp.inf).at[cid].min(big)
+    hi = jnp.full((g * g, 3), -jnp.inf).at[cid].max(small)
+    nonempty = jnp.isfinite(lo[:, 0])
+    lo_s = jnp.where(nonempty[:, None], lo, 0.0)
+    hi_s = jnp.where(nonempty[:, None], hi, 0.0)
+    centers = 0.5 * (lo_s + hi_s)
+    # Sphere covers the chunk AABB plus the tallest possible blade sway.
+    h_max = jnp.max(jnp.where(valid, blades["height"], 0.0))
+    radii = 0.5 * jnp.linalg.norm(hi_s - lo_s, axis=-1) + h_max + 0.5
+    return cid, centers, radii, nonempty
+
+
+def grass_lod_triangles(blades, camera, origin, world_size, time=0.0,
+                        lod_distance=20.0, chunk_size=8.0, width=0.03):
+    """Frame-ready grass: per-chunk frustum culling + two-LOD triangle soup.
+
+    Reference: grass chunks are frustum-culled and generated at one of two
+    LODs by distance, then drawn indirect (src/terrain/grass.h:21-39 +
+    shaders/grass/grass_generation_cs.hlsl).  Here both LOD strips are built
+    at fixed shape and blades that are culled (off-frustum chunk) or in the
+    other LOD class collapse to zero-area triangles at the blade root —
+    invisible to both the ray tracer and the raster pipeline, no dynamic
+    shapes.  Returns (verts (V,3), tris (T,3), stats dict)."""
+    from ..scene.scene_rendering import cull_spheres, frustum_planes
+
+    cid, centers, radii, nonempty = chunk_grass(
+        blades, origin, world_size, chunk_size)
+    planes = frustum_planes(camera)
+    vis_chunk = cull_spheres(planes, centers, radii) & nonempty
+    bvis = blades["valid"] & vis_chunk[cid]
+    lod = blade_lod(blades["position"], camera.position, lod_distance)
+
+    parts = []
+    tri_parts = []
+    voffset = 0
+    for lod_class, segments in ((0, LOD0_SEGMENTS), (1, LOD1_SEGMENTS)):
+        keep = bvis & (lod == lod_class)
+        masked = dict(blades)
+        # Collapse non-members: zero height and width -> all verts == root.
+        masked["height"] = jnp.where(keep, blades["height"], 0.0)
+        v, t = blade_triangles(masked, time=time, segments=segments,
+                               width=width)
+        n_blades = blades["position"].shape[0]
+        per = v.shape[0] // n_blades
+        keep_v = jnp.repeat(keep, per)
+        v = jnp.where(keep_v[:, None], v,
+                      jnp.repeat(blades["position"], per, axis=0))
+        parts.append(v)
+        tri_parts.append(t + voffset)
+        voffset += v.shape[0]
+    stats = {
+        "visible_blades": jnp.sum(bvis),
+        "visible_chunks": jnp.sum(vis_chunk),
+        "lod0_blades": jnp.sum(bvis & (lod == 0)),
+        "lod1_blades": jnp.sum(bvis & (lod == 1)),
+    }
+    return (jnp.concatenate(parts), jnp.concatenate(tri_parts), stats)
+
+
 def blade_triangles(blades, time=0.0, segments=LOD0_SEGMENTS, width=0.03):
     """Expand blade instances into triangle soup (V, 3)/(T, 3) for rendering.
 

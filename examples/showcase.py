@@ -63,7 +63,7 @@ from d3d12renderer_tpu.render.shadows import ShadowAtlas
 from d3d12renderer_tpu.render.transparent import TransparentObject
 from d3d12renderer_tpu.particles import systems as psys
 from d3d12renderer_tpu.terrain.grass import (
-    blade_triangles, generate_grass_blades,
+    generate_grass_blades, grass_lod_triangles,
 )
 from d3d12renderer_tpu.terrain.heightmap import (
     generate_heightmap, sample_height_bilinear, shade_splat, splat_weights,
@@ -141,11 +141,19 @@ for (x, y, z) in tree_pts:
     meshes.append((trunk, 2))
     meshes.append((canopy, 3))
 
-# Grass blades near the camera (triangle soup -> one mesh).
+# Grass blades: per-chunk frustum culling + distance LOD (reference grass
+# chunk pipeline, src/terrain/grass.h:21-39) — culled/far blades collapse to
+# zero-area triangles, so shapes stay fixed.
 blades = generate_grass_blades(heights, ORIGIN, CELL, WORLD,
                                jax.random.PRNGKey(3), blades_per_side=28,
                                density=0.6)
-gverts, gtris = blade_triangles(blades, time=0.4, segments=2)
+grass_cam = look_at(eye=cam_pos, target=(0.0, 1.5, 0.0), aspect=1.0,
+                    v_fov=math.radians(50))
+gverts, gtris, gstats = grass_lod_triangles(
+    blades, grass_cam, ORIGIN, WORLD, time=0.4, lod_distance=18.0)
+print(f"grass: {int(gstats['visible_blades'])} visible blades in "
+      f"{int(gstats['visible_chunks'])} chunks "
+      f"(LOD0 {int(gstats['lod0_blades'])} / LOD1 {int(gstats['lod1_blades'])})")
 g_mesh = mesh_mod.MeshData(
     positions=np.asarray(gverts, np.float32),
     normals=np.tile(np.array([[0, 1, 0]], np.float32), (len(gverts), 1)),

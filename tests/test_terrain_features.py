@@ -73,3 +73,62 @@ def test_tree_wind_and_weld():
     new_p, new_i, _ = weld_vertices(p, idx, tolerance=1e-3)
     assert len(new_p) == 3
     assert new_i.max() < 3
+
+
+def test_grass_chunk_culling_and_lod():
+    """Frame-ready grass: per-chunk frustum culling drops behind-camera
+    blades (zero-area tris), both LOD classes appear, shapes stay fixed
+    (reference: grass chunk culling + LOD, src/terrain/grass.h:21-39)."""
+    import math
+
+    from d3d12renderer_tpu.render.camera import look_at
+    from d3d12renderer_tpu.terrain.grass import (
+        LOD0_SEGMENTS, LOD1_SEGMENTS, grass_lod_triangles,
+    )
+
+    h = jnp.zeros((64, 64))
+    origin = (0.0, 0.0, 0.0)
+    world = 32.0
+    blades = generate_grass_blades(h, origin, world / 63, world,
+                                   jax.random.PRNGKey(5),
+                                   blades_per_side=48, density=0.9)
+    # Camera at the field center looking +x: half the field is behind it.
+    cam = look_at((16.0, 1.2, 16.0), (26.0, 0.5, 16.0),
+                  v_fov=math.radians(60), aspect=1.0)
+    verts, tris, stats = grass_lod_triangles(
+        blades, cam, origin, world, time=0.3, lod_distance=6.0,
+        chunk_size=4.0)
+
+    n = blades["position"].shape[0]
+    assert verts.shape[0] == n * (2 * (LOD0_SEGMENTS + 1)
+                                  + 2 * (LOD1_SEGMENTS + 1))
+    vis = int(stats["visible_blades"])
+    total = int(jnp.sum(blades["valid"]))
+    assert 0 < vis < total, f"culling should drop some blades ({vis}/{total})"
+    assert int(stats["lod0_blades"]) > 0 and int(stats["lod1_blades"]) > 0
+    assert int(stats["visible_chunks"]) < 64  # 8x8 grid, some culled
+
+    # Triangle areas: visible blades contribute area; total degenerate count
+    # matches culled + other-LOD copies.
+    v = np.asarray(verts)
+    t = np.asarray(tris)
+    e1 = v[t[:, 1]] - v[t[:, 0]]
+    e2 = v[t[:, 2]] - v[t[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    assert (area > 1e-9).sum() > 0
+    tris_per_blade0 = 2 * LOD0_SEGMENTS
+    tris_per_blade1 = 2 * LOD1_SEGMENTS
+    live_expected_max = (int(stats["lod0_blades"]) * tris_per_blade0
+                         + int(stats["lod1_blades"]) * tris_per_blade1)
+    assert (area > 1e-9).sum() <= live_expected_max
+
+    # Blades behind the camera (x < 14) are culled: their LOD0 tris are all
+    # degenerate.
+    pos = np.asarray(blades["position"])
+    valid = np.asarray(blades["valid"])
+    behind = valid & (pos[:, 0] < 12.0)
+    if behind.any():
+        bi = np.nonzero(behind)[0][0]
+        per_v0 = 2 * (LOD0_SEGMENTS + 1)
+        sl = slice(bi * tris_per_blade0, (bi + 1) * tris_per_blade0)
+        assert (area[sl] < 1e-9).all(), "behind-camera blade not culled"
