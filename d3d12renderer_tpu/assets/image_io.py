@@ -315,4 +315,8 @@ def save_png16(path: str, arr):
     if a.ndim != 2:
         raise ValueError("save_png16 writes single-channel images; "
                          "use save_exr/save_hdr for color")
-    Image.fromarray((a * 65535.0 + 0.5).astype(np.uint16), "I;16").save(path)
+    # fromarray(..., "I;16") is deprecated in Pillow 13; go via I;16 directly.
+    u16 = (a * 65535.0 + 0.5).astype(np.uint16)
+    img = Image.new("I;16", (u16.shape[1], u16.shape[0]))
+    img.frombytes(u16.tobytes())
+    img.save(path)

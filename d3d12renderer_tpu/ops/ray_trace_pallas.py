@@ -102,14 +102,14 @@ def pack_tris(dense) -> jnp.ndarray:
 
 
 def _cluster_cull(origin, direction, t_max, lo, hi, group=64):
-    """Per-(ray block, cluster) need mask -> compacted chunk id lists.
+    """Per-(ray block, cluster) need mask + entry distance.
 
     origin/direction (nb, RAY_BLOCK, 3); t_max (nb, RAY_BLOCK); lo/hi (C', 3)
-    cluster AABBs.  Returns (ids, counts): ids (nb, C') int32 — for block rb,
-    ids[rb, :counts[rb]] are the chunk indices any of its rays can hit, in
-    ascending order; counts clamped to >= 1 so the kernel's init step always
-    runs.  Processed `group` ray blocks at a time to bound the
-    (group, RAY_BLOCK, C') intermediate.
+    cluster AABBs.  Returns (needed, entry): needed (nb, C') bool — block rb
+    must visit chunk c; entry (nb, C') f32 — the smallest AABB entry distance
+    over the block's rays that can hit it (+inf where not needed).  Processed
+    `group` ray blocks at a time to bound the (group, RAY_BLOCK, C')
+    intermediate.
 
     This is the TPU replacement for per-ray BVH descent (reference DXR TLAS
     walk): a coarse top level evaluated densely + compaction, instead of a
@@ -131,41 +131,66 @@ def _cluster_cull(origin, direction, t_max, lo, hi, group=64):
         tmin = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.0)
         tmax = jnp.maximum(t0, t1).min(-1)
         hit = (tmax >= tmin) & (tmin <= tm[:, :, None])
-        return jnp.any(hit, axis=1)           # (G, C')
+        entry = jnp.min(jnp.where(hit, tmin, jnp.inf), axis=1)  # (G, C')
+        return jnp.any(hit, axis=1), entry
 
-    needed = jax.lax.map(
+    needed, entry = jax.lax.map(
         one_group,
         (o.reshape(-1, group, RAY_BLOCK, 3),
          d.reshape(-1, group, RAY_BLOCK, 3),
          tm.reshape(-1, group, RAY_BLOCK)),
-    ).reshape(-1, nc)[:nb]
-
-    # Stable compaction: needed chunks first, ascending chunk index.
-    c_iota = jnp.arange(nc, dtype=jnp.int32)
-    score = jnp.where(needed, c_iota, nc + c_iota)
-    ids = jnp.argsort(score, axis=-1).astype(jnp.int32)
-    counts = jnp.maximum(jnp.sum(needed, axis=-1), 1).astype(jnp.int32)
-    return ids, counts
+    )
+    return (needed.reshape(-1, nc)[:nb], entry.reshape(-1, nc)[:nb])
 
 
-def _flat_visits(ids, counts):
-    """Compact per-block chunk lists into ONE sorted visit list.
+def _visit_bits(sb: int, nc: int) -> Tuple[int, int, int]:
+    """Bit layout of a packed visit word: (blk_bits, entry_bits, chunk_bits).
 
-    ids (sb, nc) / counts (sb,) from _cluster_cull -> (packed, total):
+    blk | entry_q | chunk from high to low, so one jnp.sort orders visits by
+    ray block, then front-to-back by quantized chunk-entry distance."""
+    blk_bits = max(sb - 1, 0).bit_length()
+    chunk_bits = max(max(nc - 1, 0).bit_length(), 1)
+    entry_bits = 31 - blk_bits - chunk_bits
+    assert entry_bits >= 8, (sb, nc)
+    return blk_bits, entry_bits, chunk_bits
+
+
+def _flat_visits(needed, entry):
+    """Compact the (block, chunk) visit mask into ONE sorted visit list.
+
+    needed/entry (sb, nc) from _cluster_cull -> (packed, total, scale):
     packed (sb*nc,) int32 where entry v of the first `total` is
-    (ray_block << 16) | chunk_index, sorted by block then chunk; the tail is
-    a 0x7fffffff sentinel (never visited — the kernel grid is `total`).
+    blk << (eb+cb) | entry_q << cb | chunk — sorted ascending, i.e. by ray
+    block, then FRONT-TO-BACK by conservative (rounded-down) quantized entry
+    distance; the tail is a 0x7fffffff sentinel (never visited — the kernel
+    grid is `total`).  scale (1,) f32 dequantizes entry_q to a lower bound
+    on the true entry distance, which the kernel compares against the
+    block's worst current hit to SKIP occluded chunks entirely.
 
-    This is what lets the kernel grid be the NUMBER OF REAL VISITS instead
-    of sb*nc: at 500k tris a coherent 1080p frame needs ~7 of ~500 chunks
-    per block, and iterating the ~99% skipped (rb, chunk) steps cost 2.5x
-    the real work (measured: 353 ms kernel for ~100 ms of visits)."""
-    sb, nc = ids.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 1)
+    The dynamic grid is what lets the kernel run the NUMBER OF REAL VISITS
+    instead of sb*nc steps; the front-to-back order is what makes the
+    in-kernel early-out effective (deep scenes: most visits are occluded
+    by the time they come up)."""
+    sb, nc = needed.shape
+    blk_bits, entry_bits, chunk_bits = _visit_bits(sb, nc)
+    qmax = (1 << entry_bits) - 1
+    # Blocks with no needed chunk get one forced chunk-0 visit so the
+    # kernel's per-block output init always runs.
+    none = ~jnp.any(needed, axis=-1)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 1) == 0
+    needed = needed | (none[:, None] & col0)
+    entry = jnp.where(none[:, None] & col0, 0.0, entry)
+
+    emax = jnp.max(jnp.where(jnp.isfinite(entry) & needed, entry, 0.0))
+    scale = jnp.maximum(emax, 1e-6) / qmax
+    q = jnp.clip(entry / scale, 0.0, float(qmax)).astype(jnp.int32)
+
+    cid = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 1)
     blk = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 0)
-    valid = col < counts[:, None]
-    packed = jnp.where(valid, (blk << 16) | ids, jnp.int32(0x7FFFFFFF))
-    return jnp.sort(packed.ravel()), jnp.sum(counts)
+    word = ((blk << (entry_bits + chunk_bits)) | (q << chunk_bits) | cid)
+    packed = jnp.where(needed, word, jnp.int32(0x7FFFFFFF))
+    return (jnp.sort(packed.ravel()), jnp.sum(needed),
+            scale.reshape(1).astype(jnp.float32))
 
 
 def _spread5(x):
@@ -193,16 +218,26 @@ def regroup_perm(o, d, lo, hi):
     return jnp.argsort((oct_ << 15) | morton)
 
 
-def _culled_kernel(packed_ref, o_ref, d_ref, tmax_ref, tri_ref,
-                   t_ref, tri_id_ref, u_ref, v_ref):
+def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
+                   t_ref, tri_id_ref, u_ref, v_ref, *, entry_bits,
+                   chunk_bits, any_hit=False):
     """Same math as _kernel, but grid step v processes the visit
-    packed[v] = (ray_block << 16) | chunk: the BlockSpecs route the right
-    ray block and triangle chunk in, and outputs re-init whenever the ray
-    block changes (visits are sorted by block, so output blocks are
-    revisited consecutively)."""
+    packed[v] = blk | entry_q | chunk (see _flat_visits): the BlockSpecs
+    route the right ray block and triangle chunk in, and outputs re-init
+    whenever the ray block changes (visits are sorted by block, so output
+    blocks are revisited consecutively).
+
+    Early termination: visits arrive front-to-back per block, and entry_q
+    dequantizes (via scale) to a LOWER bound on the chunk's AABB entry
+    distance for every ray in the block.  Once every ray's current best hit
+    is nearer than that bound the chunk cannot improve any ray — skip the
+    whole visit.  This is the block-level analogue of a per-ray BVH
+    traversal's ordered descent + t-max pruning (reference DXR,
+    raytracing.h:41-53)."""
     v_id = pl.program_id(0)
-    blk = packed_ref[v_id] >> 16
-    prev = packed_ref[jnp.maximum(v_id, 1) - 1] >> 16
+    word = packed_ref[v_id]
+    blk = word >> (entry_bits + chunk_bits)
+    prev = packed_ref[jnp.maximum(v_id, 1) - 1] >> (entry_bits + chunk_bits)
 
     @pl.when((v_id == 0) | (blk != prev))
     def _init():
@@ -211,49 +246,63 @@ def _culled_kernel(packed_ref, o_ref, d_ref, tmax_ref, tri_ref,
         u_ref[:] = jnp.zeros_like(u_ref)
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    o = o_ref[:]
-    d = d_ref[:]
-    tri = tri_ref[:]
-    n = tri[0:3]
-    n_off = tri[3]
-    e1p = tri[4:7]
-    e1_off = tri[7]
-    e2p = tri[8:11]
-    e2_off = tri[11]
-    valid = tri[12]
+    entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
+                ).astype(jnp.float32) * scale_ref[0]
 
-    no = jnp.dot(o, n, preferred_element_type=jnp.float32)
-    nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
-    t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
-    uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
-    ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
-    vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
-    vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
-    u = uo + t * ud + e1_off[None, :]
-    v = vo + t * vd + e2_off[None, :]
+    @pl.when(jnp.max(t_ref[:]) >= entry_lo)
+    def _visit():
+        o = o_ref[:]
+        d = d_ref[:]
+        tri = tri_ref[:]
+        n = tri[0:3]
+        n_off = tri[3]
+        e1p = tri[4:7]
+        e1_off = tri[7]
+        e2p = tri[8:11]
+        e2_off = tri[11]
+        valid = tri[12]
 
-    t_best = t_ref[:]
-    ok = (
-        (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
-        & (u >= 0) & (v >= 0) & (u + v <= 1)
-    )
-    t_m = jnp.where(ok, t, jnp.inf)
-    c = t_m.shape[1]
-    t_min = jnp.min(t_m, axis=-1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-    is_min = t_m == t_min[:, None]
-    first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
-    sel = cols == first[:, None]
-    uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
-    vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+        no = jnp.dot(o, n, preferred_element_type=jnp.float32)
+        nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
+        t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12,
+                                              jnp.inf, nd)
+        uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
+        ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
+        vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
+        vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
+        u = uo + t * ud + e1_off[None, :]
+        v = vo + t * vd + e2_off[None, :]
 
-    better = t_min < t_best
-    chunk = packed_ref[v_id] & 0xFFFF
-    base = chunk * c
-    t_ref[:] = jnp.where(better, t_min, t_best)
-    tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
-    u_ref[:] = jnp.where(better, uk, u_ref[:])
-    v_ref[:] = jnp.where(better, vk, v_ref[:])
+        t_best = t_ref[:]
+        ok = (
+            (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
+            & (u >= 0) & (v >= 0) & (u + v <= 1)
+        )
+        t_m = jnp.where(ok, t, jnp.inf)
+        c = t_m.shape[1]
+        t_min = jnp.min(t_m, axis=-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        is_min = t_m == t_min[:, None]
+        first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
+        sel = cols == first[:, None]
+        uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
+        vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+
+        better = t_min < t_best
+        chunk = word & ((1 << chunk_bits) - 1)
+        base = chunk * c
+        t_new = jnp.where(better, t_min, t_best)
+        if any_hit:
+            # Occlusion query: any hit below t_max settles the ray.  Collapse
+            # its t so (a) no further triangle can pass t < t_best and (b) the
+            # block's entry-distance early-out fires as soon as EVERY ray is
+            # occluded — remaining visits skip entirely.
+            t_new = jnp.where((tri_id_ref[:] >= 0) | better,
+                              jnp.float32(1.01e-4), t_new)
+        t_ref[:] = t_new
+        tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
+        u_ref[:] = jnp.where(better, uk, u_ref[:])
+        v_ref[:] = jnp.where(better, vk, v_ref[:])
 
 
 SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
@@ -267,18 +316,24 @@ def _slab_blocks_for(nc: int) -> int:
 
 
 def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
-                              interpret=False, regroup=False):
-    """Two-level closest hit: cluster-AABB culling + compacted chunk visits.
+                              interpret=False, regroup=False, any_hit=False):
+    """Two-level closest hit: cluster-AABB culling + ordered chunk visits.
 
     Scales past the brute-force kernel's rays x ALL-tris cost: each ray block
     only DMAs and intersects the triangle chunks whose cluster AABB it can
-    hit.  Exact — culling only skips chunks that cannot contain a hit.
-    Rays run in SLAB_BLOCKS-block slabs so the scalar-prefetched id table
-    stays within SMEM.
+    hit, front-to-back with an in-kernel occlusion early-out (see
+    _culled_kernel).  Exact — culling only skips chunks that cannot improve
+    any ray's current hit.  Rays run in SLAB_BLOCKS-block slabs so the
+    scalar-prefetched visit table stays within SMEM.
 
     regroup=True sorts the rays by (direction octant, origin Morton cell)
     first and inverse-scatters the outputs — an exact permutation that
-    restores block coherence for scattered (bounce-like) rays."""
+    restores block coherence for scattered (bounce-like) rays.
+
+    any_hit=True answers occlusion queries: `hit` is exact (something lies
+    in (0, t_max)) but `t`/`uv` are NOT the closest hit — rays stop at the
+    first intersected chunk, letting fully-occluded blocks skip the rest of
+    their visit list."""
     if regroup:
         lo = jnp.min(dense.cluster_lo, axis=0)
         hi = jnp.max(dense.cluster_hi, axis=0)
@@ -287,7 +342,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
                               (origin.shape[0],))
         res = closest_hit_pallas_culled(
             dense, origin[perm], direction[perm], t_max=tm[perm],
-            interpret=interpret, regroup=False)
+            interpret=interpret, regroup=False, any_hit=any_hit)
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
         return {k: v[inv] for k, v in res.items()}
@@ -311,10 +366,13 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tmax = jnp.pad(tmax, (0, pad_r))
     nslabs = o.shape[0] // slab
 
+    _, entry_bits, chunk_bits = _visit_bits(sb, nc)
+    bshift = entry_bits + chunk_bits
+    cmask = (1 << chunk_bits) - 1
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3),
-                            lambda v, pk: (pk[v] >> 16, 0),
+                            lambda v, pk: (pk[v] >> bshift, 0),
                             memory_space=pltpu.VMEM)
-    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda v, pk: (pk[v] >> 16,),
+    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda v, pk: (pk[v] >> bshift,),
                            memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((slab,), jnp.float32),
@@ -325,31 +383,33 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
 
     def one_slab(args):
         o_s, d_s, tm_s = args  # (slab, 3), (slab, 3), (slab,)
-        ids, counts = _cluster_cull(
+        needed, entry = _cluster_cull(
             o_s.reshape(sb, RAY_BLOCK, 3),
             d_s.reshape(sb, RAY_BLOCK, 3),
             tm_s.reshape(sb, RAY_BLOCK),
             dense.cluster_lo, dense.cluster_hi,
             group=sb,
         )
-        packed, total = _flat_visits(ids, counts)
+        packed, total, scale = _flat_visits(needed, entry)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(total,),  # DYNAMIC: exactly the real visits, no skipped steps
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dequant scale (1,)
                 ray_spec, ray_spec, per_ray,
                 pl.BlockSpec((16, TRI_CHUNK),
-                             lambda v, pk: (0, pk[v] & 0xFFFF),
+                             lambda v, pk: (0, pk[v] & cmask),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(per_ray, per_ray, per_ray, per_ray),
         )
         return pl.pallas_call(
-            _culled_kernel,
+            functools.partial(_culled_kernel, entry_bits=entry_bits,
+                              chunk_bits=chunk_bits, any_hit=any_hit),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
-        )(packed, o_s, d_s, tm_s, tbl)
+        )(packed, scale, o_s, d_s, tm_s, tbl)
 
     if nslabs == 1:
         t, tri, u, v = one_slab((o, d, tmax))
@@ -369,18 +429,20 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
 
 
 def closest_hit_pallas(dense, origin, direction, t_max=1e30,
-                       interpret=False, regroup=False):
+                       interpret=False, regroup=False, any_hit=False):
     """Drop-in closest hit over a DenseTris table.
 
     origin/direction (R, 3); returns {t, tri, uv, hit} like closest_hit.
     Routes through the two-level culled kernel when the table spans more
     than one chunk and cluster AABBs exist; `regroup` restores block
-    coherence for scattered rays there (no-op on the single-chunk path)."""
+    coherence for scattered rays there (no-op on the single-chunk path);
+    `any_hit` relaxes to an occlusion query there (exact `hit`, t not
+    necessarily closest)."""
     if (getattr(dense, "cluster_lo", None) is not None
             and dense.n.shape[0] > TRI_CHUNK):
         return closest_hit_pallas_culled(dense, origin, direction,
                                          t_max=t_max, interpret=interpret,
-                                         regroup=regroup)
+                                         regroup=regroup, any_hit=any_hit)
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
 

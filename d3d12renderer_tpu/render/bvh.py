@@ -492,8 +492,22 @@ def closest_hit(bvh: BVH, origin, direction, t_max=1e30, max_steps=512,
             "hit": tri_best >= 0}
 
 
-def any_hit(bvh: BVH, origin, direction, t_max, max_steps=512):
-    """Shadow-ray traversal: True where something blocks before t_max."""
+def any_hit(bvh: BVH, origin, direction, t_max, max_steps=512,
+            regroup=False):
+    """Shadow-ray traversal: True where something blocks before t_max.
+
+    On the Pallas culled backend this is a true occlusion query — rays
+    settle at their FIRST intersected chunk and fully-occluded ray blocks
+    skip the rest of their front-to-back visit list (the any-hit shader
+    early-out of the reference's DXR shadow rays)."""
+    if (_RAY_BACKEND == "pallas" and bvh.dense is not None
+            and getattr(bvh.dense, "cluster_lo", None) is not None
+            and bvh.dense.n.shape[0] > 1024):
+        from ..ops.ray_trace_pallas import closest_hit_pallas_culled
+        res = closest_hit_pallas_culled(bvh.dense, origin, direction,
+                                        t_max=t_max, regroup=regroup,
+                                        any_hit=True)
+        return res["hit"]
     res = closest_hit(bvh, origin, direction, t_max=t_max, max_steps=max_steps)
     return res["hit"] & (res["t"] < t_max)
 

@@ -373,6 +373,7 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             shadowed = bvh_mod.any_hit(
                 scene.bvh, p, l_sun, t_max=jnp.full((r,), 1e30),
                 max_steps=settings.max_traversal_steps,
+                regroup=regroup_bounces and bounce > 0,
             )
             f, pdf_b = eval_brdf(n, v, l_sun, albedo, rough, metal)
             if settings.multiple_importance_sampling:

@@ -35,11 +35,23 @@ def weld_vertices(positions: np.ndarray, indices: np.ndarray,
 
     tree = cKDTree(positions)
     pairs = tree.query_pairs(tolerance, output_type="ndarray")
-    remap = np.arange(len(positions))
+    # Union-find with path halving (near-O(pairs)); roots end up at the
+    # component-minimum index, matching the old per-pair relabel exactly
+    # without its O(pairs x N) rescan.
+    parent = np.arange(len(positions))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
     for a, b in pairs:
-        ra, rb = remap[a], remap[b]
-        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-        remap[remap == hi] = lo
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = np.array([find(i) for i in range(len(positions))],
+                     dtype=np.int64)
     used, inverse = np.unique(remap, return_inverse=True)
     new_pos = positions[used]
     new_idx = inverse[remap[indices]]

@@ -176,3 +176,38 @@ def test_ray_trace_culled_adaptive_slab_big_scene():
     assert m.sum() > 20
     np.testing.assert_allclose(np.asarray(got["t"])[m],
                                np.asarray(ref["t"])[m], rtol=1e-5)
+
+
+def test_ray_trace_culled_any_hit_occlusion():
+    """any_hit mode: exact occlusion booleans under finite segment t_max,
+    even though rays settle at their first intersected chunk (the early-out
+    path of bvh.any_hit on the pallas backend)."""
+    from d3d12renderer_tpu.ops.ray_trace_pallas import (
+        TRI_CHUNK, closest_hit_pallas_culled,
+    )
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    rng = np.random.default_rng(7)
+    meshes = []
+    for i in range(6):
+        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
+            translate=tuple(rng.uniform(-3, 3, 3)))
+        meshes.append((s, i))
+    b = bvh_mod.build_bvh(meshes)
+    assert b.dense.n.shape[0] > TRI_CHUNK
+
+    R = 2000
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tm = rng.uniform(0.5, 10.0, (R,)).astype(np.float32)
+
+    ref = bvh_mod.closest_hit_dense(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    t_max=jnp.asarray(tm))
+    want = np.asarray(ref["hit"]) & (np.asarray(ref["t"]) < tm)
+    got = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    t_max=jnp.asarray(tm), interpret=True,
+                                    any_hit=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]), want)
+    assert want.sum() > 20, "degenerate test: almost no occluded rays"

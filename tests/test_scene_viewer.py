@@ -8,6 +8,7 @@ import re
 import subprocess
 import sys
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -93,6 +94,35 @@ def test_scene_viewer_serve_loop():
 
         info = json.loads(get("/info"))
         assert info["radius"] > 0 and info["undo"] == "edit RedSphere"
+
+        post("/undo")  # back to the authored transform (y = 2.2, above rest)
+
+        # Play mode: clone + physics step per render (reference editor
+        # play/pause/stop with scene cloning, src/scene/scene.h:399-463).
+        # RedSphere starts above its rest height — after some played frames
+        # the CLONE's sphere has fallen (frames render differently), while
+        # /entities (the editor scene) still reports the authored transform.
+        assert post("/play")["mode"] == "play"
+        first = get("/render?size=64&spp=1")
+        for _ in range(11):
+            assert get("/render?size=64&spp=1")[:4] == b"\x89PNG"
+        later = get("/render?size=64&spp=1")
+        assert later != first, "play frames should show motion"
+        frames = json.loads(get("/info"))["frames"]
+        assert frames >= 13
+        assert post("/pause")["mode"] == "pause"
+        get("/render?size=64&spp=1")
+        assert json.loads(get("/info"))["frames"] == frames  # pause = frozen
+        # Edits are blocked during play/pause.
+        try:
+            post("/edit", {"id": red["id"], "position": [0, 9, 0]})
+            raise AssertionError("edit during play should fail")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        assert post("/stop")["mode"] == "edit"
+        ents = json.loads(get("/entities"))
+        red2 = next(e for e in ents if e["name"] == "RedSphere")
+        assert red2["position"][1] == pytest.approx(2.2)
     finally:
         proc.terminate()
         try:

@@ -94,21 +94,30 @@ def build_demo_scene() -> Scene:
     """Showcase-style multi-object scene through the ECS path."""
     s = Scene()
     s.add_static_plane((0, 1, 0), 0.0)
+    # Dynamic bodies start above their rest height so play mode (clone +
+    # physics step per frame) visibly drops them; the torus is static.
     specs = [
-        ("RedSphere", "sphere", {"radius": 0.8}, (0.0, 0.8, 0.0),
-         dict(albedo=(0.75, 0.15, 0.12), roughness=0.35)),
-        ("MetalSphere", "sphere", {"radius": 0.6}, (-1.9, 0.6, 0.7),
-         dict(albedo=(0.95, 0.93, 0.88), roughness=0.12, metallic=1.0)),
+        ("RedSphere", "sphere", {"radius": 0.8}, (0.0, 2.2, 0.0),
+         dict(albedo=(0.75, 0.15, 0.12), roughness=0.35),
+         C.Collider(shape="sphere", size=(0.8,), restitution=0.4)),
+        ("MetalSphere", "sphere", {"radius": 0.6}, (-1.9, 1.4, 0.7),
+         dict(albedo=(0.95, 0.93, 0.88), roughness=0.12, metallic=1.0),
+         C.Collider(shape="sphere", size=(0.6,))),
         ("BlueBox", "box", {"half_extents": (0.55, 0.55, 0.55)},
-         (1.9, 0.55, -0.4), dict(albedo=(0.15, 0.3, 0.75), roughness=0.5)),
+         (1.9, 1.3, -0.4), dict(albedo=(0.15, 0.3, 0.75), roughness=0.5),
+         C.Collider(shape="box", size=(0.55, 0.55, 0.55))),
         ("GreenTorus", "torus", {"major": 0.8, "minor": 0.25},
-         (0.7, 0.26, 1.9), dict(albedo=(0.2, 0.7, 0.3), roughness=0.4)),
+         (0.7, 0.26, 1.9), dict(albedo=(0.2, 0.7, 0.3), roughness=0.4),
+         None),
     ]
-    for name, prim, params, pos, mat in specs:
+    for name, prim, params, pos, mat, col in specs:
         e = s.create_entity(name)
         e.add_component(C.Transform(position=pos))
         e.add_component(C.Mesh(primitive=prim, params=params))
         e.add_component(C.Material(**mat))
+        if col is not None:
+            e.add_component(C.RigidBody())
+            e.add_component(col)
     ground = s.create_entity("GroundVis")
     ground.add_component(C.Transform())
     ground.add_component(C.Mesh(primitive="quad", params={"half": 12.0}))
@@ -167,6 +176,9 @@ select { background: #1b1e24; color: #d7dae0; border: 1px solid #3a3f4b; }
   <div id="status">drag = orbit &middot; wheel = zoom</div></div>
 <div id="side">
   <div>
+    <button onclick="setMode('play')">&#9654;</button>
+    <button onclick="setMode('pause')">&#9208;</button>
+    <button onclick="setMode('stop')">&#9209;</button>
     <button onclick="act('undo')">&#8630; Undo</button>
     <button onclick="act('redo')">&#8631; Redo</button>
     target: <select id="kind" onchange="refresh()">
@@ -221,6 +233,23 @@ function act(what) {
   fetch('/' + what, { method: 'POST' })
     .then(r => r.json()).then(() => { loadEnts(); refresh(); });
 }
+let mode = 'edit';
+function setMode(what) {
+  fetch('/' + what, { method: 'POST' }).then(r => r.json()).then(j => {
+    mode = j.mode;
+    if (mode === 'play') playLoop(); else refresh();
+  });
+}
+function playLoop() {
+  if (mode !== 'play') return;
+  if (busy) { setTimeout(playLoop, 30); return; }
+  busy = true;
+  fetch(url()).then(r => r.blob()).then(b => {
+    view.src = URL.createObjectURL(b);
+    busy = false;
+    setTimeout(playLoop, 10);
+  }).catch(() => { busy = false; });
+}
 function applyEdit(id) {
   const p = ['x', 'y', 'z'].map(a =>
     parseFloat(document.getElementById(`p_${id}_${a}`).value));
@@ -261,9 +290,19 @@ def serve(scene: Scene, port: int):
         PathTracerSettings, render, to_srgb_u8,
     )
 
+    from d3d12renderer_tpu.physics import step as step_mod
+    from d3d12renderer_tpu.physics.types import PhysicsSettings
+
     undo = UndoStack()
     lock = threading.Lock()          # one render / edit at a time
     cache = {"rscene": None}
+    # Play mode (reference: editor_scene play/pause/stop with scene cloning,
+    # src/scene/scene.h:399-463 + editor.cpp): `play` clones the editor
+    # scene, compiles its physics, and each /render in play mode advances
+    # the CLONE one 1/60 s frame; `stop` discards the clone — the editor
+    # scene is untouched.
+    play = {"mode": "edit", "scene": None, "arch": None, "state": None,
+            "mapping": None, "stepper": None, "frames": 0}
 
     def rscene():
         if cache["rscene"] is None:
@@ -272,6 +311,29 @@ def serve(scene: Scene, port: int):
 
     def invalidate():
         cache["rscene"] = None
+
+    def start_play():
+        if play["mode"] != "edit":      # pause -> resume
+            play["mode"] = "play"
+            return
+        clone = scene.clone()
+        arch, state, mapping = clone.compile_physics()
+        settings = PhysicsSettings()
+        stepper = jax.jit(lambda s: step_mod.physics_step(
+            arch, s, settings, 1.0 / 60.0)[0])
+        play.update(scene=clone, arch=arch, state=state, mapping=mapping,
+                    stepper=stepper, frames=0, mode="play")
+
+    def stop_play():
+        play.update(mode="edit", scene=None, arch=None, state=None,
+                    mapping=None, stepper=None, frames=0)
+
+    def play_rscene(advance: bool):
+        if advance:
+            play["state"] = play["stepper"](play["state"])
+            play["frames"] += 1
+        return play["scene"].build_render_scene(
+            body_state=play["state"], mapping=play["mapping"])
 
     @lru_cache(maxsize=8)
     def beauty_fn(size, spp):
@@ -285,7 +347,10 @@ def serve(scene: Scene, port: int):
         size = int(q.get("size", [str(args.size)])[0])
         spp = int(q.get("spp", [str(args.spp)])[0])
         kind = q.get("kind", ["beauty"])[0]
-        rs = rscene()
+        if play["mode"] in ("play", "pause"):
+            rs = play_rscene(advance=play["mode"] == "play")
+        else:
+            rs = rscene()
         center, radius = scene_center_radius(rs)
         if "radius" in q:
             radius = float(q["radius"][0])
@@ -376,6 +441,7 @@ def serve(scene: Scene, port: int):
                         "radius": radius,
                         "center": [float(x) for x in center],
                         "undo": undo.undo_name, "redo": undo.redo_name,
+                        "mode": play["mode"], "frames": play["frames"],
                     }).encode())
                 else:
                     self._send(404, b"{}")
@@ -389,8 +455,27 @@ def serve(scene: Scene, port: int):
             try:
                 if u.path == "/edit":
                     with lock:
+                        if play["mode"] != "edit":
+                            raise RuntimeError(
+                                "stop playback to edit the scene")
                         apply_edit(json.loads(raw))
                     self._send(200, b'{"ok": true}')
+                elif u.path == "/play":
+                    with lock:
+                        start_play()
+                    self._send(200, json.dumps(
+                        {"mode": play["mode"]}).encode())
+                elif u.path == "/pause":
+                    with lock:
+                        if play["mode"] == "play":
+                            play["mode"] = "pause"
+                    self._send(200, json.dumps(
+                        {"mode": play["mode"]}).encode())
+                elif u.path == "/stop":
+                    with lock:
+                        stop_play()
+                    self._send(200, json.dumps(
+                        {"mode": play["mode"]}).encode())
                 elif u.path == "/undo":
                     with lock:
                         name = undo.undo()
