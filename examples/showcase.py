@@ -65,6 +65,9 @@ from d3d12renderer_tpu.particles import systems as psys
 from d3d12renderer_tpu.terrain.grass import (
     generate_grass_blades, grass_lod_triangles,
 )
+from d3d12renderer_tpu.terrain.placement import (
+    generate_placement_layers, instantiate_placement,
+)
 from d3d12renderer_tpu.terrain.heightmap import (
     generate_heightmap, sample_height_bilinear, shade_splat, splat_weights,
     terrain_lod_chunks,
@@ -125,21 +128,24 @@ MAT_TERRAIN = 0
 for mesh, lod, _ in chunks:
     meshes.append((mesh, MAT_TERRAIN))
 
-# Trees: trunk + canopy at placement points.
-tree_pts = []
-for _ in range(7):
-    x, z = rng.uniform(-18, 18, 2)
-    y = sample_h(x, z)
-    if y > 3.4:      # no trees on peaks
-        continue
-    tree_pts.append((x, y, z))
-for (x, y, z) in tree_pts:
-    trunk = mesh_mod.cylinder(0.18, 1.2, slices=8).transformed(
-        translate=(x, y + 1.2, z))
-    canopy = mesh_mod.ico_sphere(1.0, 1).transformed(
-        translate=(x, y + 2.8, z))
-    meshes.append((trunk, 2))
-    meshes.append((canopy, 3))
+# Trees: trunk + canopy through the procedural-placement layer pipeline
+# (reference placement layers, src/terrain/proc_placement.h:13-36): height/
+# slope masks keep trees off the peaks, yaw + scale vary per instance.
+tree_layer = generate_placement_layers(
+    heights, ORIGIN, CELL, WORLD, jax.random.PRNGKey(11),
+    [dict(max_height=3.4, max_slope_y=0.65, density=0.055,
+          scale_range=(0.85, 1.2))],
+    points_per_side=12,
+)[0]
+print(f"placement: {int(tree_layer['count'])} trees")
+trunk_proto = mesh_mod.cylinder(0.18, 1.2, slices=8).transformed(
+    translate=(0.0, 1.2, 0.0))
+canopy_proto = mesh_mod.ico_sphere(1.0, 1).transformed(
+    translate=(0.0, 2.8, 0.0))
+meshes += instantiate_placement(tree_layer, [trunk_proto],
+                                material_ids=[2], max_instances=8)
+meshes += instantiate_placement(tree_layer, [canopy_proto],
+                                material_ids=[3], max_instances=8)
 
 # Grass blades: per-chunk frustum culling + distance LOD (reference grass
 # chunk pipeline, src/terrain/grass.h:21-39) — culled/far blades collapse to

@@ -132,3 +132,52 @@ def test_grass_chunk_culling_and_lod():
         per_v0 = 2 * (LOD0_SEGMENTS + 1)
         sl = slice(bi * tris_per_blade0, (bi + 1) * tris_per_blade0)
         assert (area[sl] < 1e-9).all(), "behind-camera blade not culled"
+
+
+def test_multi_layer_placement_and_instancing():
+    """Layered placement: exclusive layer membership, per-layer masks,
+    weighted mesh variants, host instancing (reference placement layers,
+    src/terrain/proc_placement.h:13-36)."""
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+    from d3d12renderer_tpu.terrain.placement import (
+        generate_placement_layers, instantiate_placement,
+    )
+
+    # Height ramp 0..4 across x so height bands split the layers.
+    r = 64
+    h = jnp.broadcast_to(jnp.linspace(0.0, 4.0, r)[None, :], (r, r))
+    layers = [
+        dict(min_height=2.0, density=0.9, mesh_weights=[3.0, 1.0],
+             scale_range=(0.5, 0.8)),           # high band: "trees"
+        dict(max_height=2.0, density=0.5),      # low band: "rocks"
+    ]
+    out = generate_placement_layers(
+        h, (0.0, 0.0, 0.0), 32.0 / (r - 1), 32.0, jax.random.PRNGKey(2),
+        layers, points_per_side=32)
+    assert len(out) == 2
+    v0 = np.asarray(out[0]["valid"])
+    v1 = np.asarray(out[1]["valid"])
+    assert v0.sum() > 10 and v1.sum() > 10
+    assert not (v0 & v1).any(), "layers must be exclusive"
+    y0 = np.asarray(out[0]["position"])[v0, 1]
+    y1 = np.asarray(out[1]["position"])[v1, 1]
+    assert (y0 >= 2.0 - 1e-4).all() and (y1 <= 2.0 + 1e-4).all()
+    mi = np.asarray(out[0]["mesh_index"])[v0]
+    assert set(np.unique(mi)) <= {0, 1}
+    assert (mi == 0).sum() > (mi == 1).sum(), "3:1 weights should skew"
+    s0 = np.asarray(out[0]["scale"])[v0]
+    assert s0.min() >= 0.5 - 1e-5 and s0.max() <= 0.8 + 1e-5
+
+    inst = instantiate_placement(
+        out[0],
+        [lambda: mesh_mod.ico_sphere(1.0, 0),
+         lambda: mesh_mod.box((0.5, 0.5, 0.5))],
+        material_ids=[3, 4], max_instances=8)
+    assert 0 < len(inst) <= 8
+    proto_counts = {len(mesh_mod.ico_sphere(1.0, 0).positions),
+                    len(mesh_mod.box((0.5, 0.5, 0.5)).positions)}
+    for m, mat in inst:
+        assert mat in (3, 4)
+        assert len(m.positions) in proto_counts
+        # Instance sits at its placement point (translated away from origin).
+        assert np.linalg.norm(m.positions.mean(0)) > 0.1
