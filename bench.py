@@ -14,6 +14,28 @@ import sys
 import time
 
 
+def _axon_tunnel_down() -> bool:
+    """True when the axon plugin is registered but its local relay is not
+    accepting connections (a fast check; PJRT init itself retries ~30 min)."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return False
+    host = os.environ.get("AXON_POOL_SVC_OVERRIDE",
+                          os.environ.get("PALLAS_AXON_POOL_IPS", ""))
+    if not host:
+        return False
+    for port in (8083, 8082):
+        try:
+            with socket.create_connection((host.split(",")[0], port),
+                                          timeout=2):
+                return False
+        except OSError:
+            continue
+    return True
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
@@ -31,6 +53,14 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif _axon_tunnel_down():
+        # The axon TPU plugin dials a local relay; when the relay is down,
+        # backend init retries for ~30 min before failing.  Probe the relay
+        # port first so the bench still emits its JSON line (on CPU, with
+        # the platform recorded) instead of hanging.
+        print("warning: axon relay unreachable, falling back to cpu",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     from d3d12renderer_tpu.learning.loco_env import (
