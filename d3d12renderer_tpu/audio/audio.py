@@ -88,9 +88,13 @@ class AudioEngine:
                                  tuple(position)))
 
     def play_synth(self, synth_fn: Callable[[np.ndarray], np.ndarray],
-                   sound_type="sfx", volume=1.0) -> SoundHandle:
-        """Procedural source (reference: audio/synth.h sine/noise synths)."""
-        return self._play(_Voice(None, sound_type, volume, 1.0, False, None,
+                   sound_type="sfx", volume=1.0, pitch=1.0,
+                   position=None) -> SoundHandle:
+        """Procedural source (reference: audio/synth.h sine/noise synths).
+        With `position`, the voice is 3D (distance attenuation + pan) like
+        play_sound_3d."""
+        pos = tuple(position) if position is not None else None
+        return self._play(_Voice(None, sound_type, volume, pitch, False, pos,
                                  synth=synth_fn))
 
     def _play(self, voice: _Voice) -> SoundHandle:
@@ -153,4 +157,25 @@ def sine_synth(frequency: float = 440.0, sample_rate: int = 44100):
         return np.sin(2 * np.pi * frequency * t).astype(np.float32)
 
     gen.sample_rate = sample_rate
+    return gen
+
+
+def impact_synth(speed: float, seed: int = 0, sample_rate: int = 44100):
+    """Collision 'thud': a decaying noise burst over a low sine, pitched and
+    shortened with impact speed (the synth source for collision-sound
+    callbacks; reference plays wav assets from its collision-begin hook,
+    application.cpp:231-240, via audio/synth.h-style sources)."""
+    rng = np.random.default_rng(seed)
+    speed = float(speed)
+    decay = 14.0 + 2.0 * speed
+    f0 = 70.0 + 12.0 * min(speed, 8.0)
+
+    def gen(t: np.ndarray) -> np.ndarray:
+        noise = rng.standard_normal(t.shape).astype(np.float32)
+        env = np.exp(-decay * t).astype(np.float32)
+        body = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        return env * (0.65 * body + 0.35 * noise)
+
+    gen.sample_rate = sample_rate
+    gen.duration = 0.4
     return gen

@@ -59,17 +59,26 @@ class CollisionEvents(NamedTuple):
 
 
 def collision_events(contacts: ContactTable, vel, omega,
-                     prev_active: Optional[jnp.ndarray] = None
-                     ) -> CollisionEvents:
+                     prev_active: Optional[jnp.ndarray] = None,
+                     pos=None) -> CollisionEvents:
     """Begin/end contact events with impact speed (reference:
-    collision begin/end callbacks w/ contact velocity, physics.cpp:1037)."""
+    collision begin/end callbacks w/ contact velocity, physics.cpp:1037).
+
+    `pos` (body centers, same indexing as vel/omega) gives the angular
+    term its correct lever arm (contact point - center).  Without it the
+    angular contribution is omitted — a world-space point is NOT a lever
+    arm."""
     active = contacts.active
     if prev_active is None:
         prev_active = jnp.zeros_like(active)
     ia, ib = contacts.body_a, contacts.body_b
     p = contacts.point[:, 0]
-    va = vel[ia] + jnp.cross(omega[ia], p - 0.0)  # world body has zero vel
-    vb = vel[ib] + jnp.cross(omega[ib], p - 0.0)
+    if pos is None:
+        va = vel[ia]
+        vb = vel[ib]
+    else:
+        va = vel[ia] + jnp.cross(omega[ia], p - pos[ia])
+        vb = vel[ib] + jnp.cross(omega[ib], p - pos[ib])
     approach = -jnp.sum((vb - va) * contacts.normal, -1)
     return CollisionEvents(
         begin=active & ~prev_active,

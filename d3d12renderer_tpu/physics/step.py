@@ -228,20 +228,54 @@ def physics_step(
     dt: float,
     num_substeps: Optional[int] = None,
     motor_overrides=None,
+    collect_events: bool = False,
+    prev_active=None,
 ):
     """Step a scene by `dt` using fixed-rate substeps.
 
     Substep count is static (computed from dt in Python), mirroring the
     reference's frame-rate accumulator with its <=4 substep cap
     (reference: src/physics/physics.cpp:1364-1400).
+
+    With `collect_events=True`, also returns CollisionEvents folded over the
+    substeps — begin/end detected PER SUBSTEP against `prev_active` (the
+    `active` field of the previous frame's events), with approach speed
+    measured from the pre-solve velocities of the substep the contact began
+    in.  This matches the reference's per-internal-step collision callbacks
+    with contact velocity (src/physics/physics.cpp:1037); detecting begins
+    only on the frame's LAST substep reports near-zero impact speeds (the
+    solver has already absorbed the hit).
     """
     if num_substeps is None:
         num_substeps = max(1, round(dt * settings.frame_rate))
         num_substeps = min(num_substeps, settings.max_substeps)
     h = 1.0 / settings.frame_rate
     contacts = None
+    events = None
     for _ in range(num_substeps):
+        if collect_events:
+            # Pad a zero row: contact rows against planes/terrain use a
+            # pseudo world-body index one past the body table.
+            zero = jnp.zeros((1, 3), state.vel.dtype)
+            vel0 = jnp.concatenate([state.vel, zero])
+            omega0 = jnp.concatenate([state.omega, zero])
+            pos0 = jnp.concatenate([state.pos, zero])
         state, contacts = physics_substep(arch, state, h, settings, motor_overrides)
+        if collect_events:
+            from .events import CollisionEvents, collision_events
+
+            ev = collision_events(contacts, vel0, omega0, prev_active,
+                                  pos=pos0)
+            prev_active = ev.active
+            events = ev if events is None else CollisionEvents(
+                begin=events.begin | ev.begin,
+                end=events.end | ev.end,
+                active=ev.active,
+                approach_speed=jnp.maximum(events.approach_speed,
+                                           ev.approach_speed),
+            )
+    if collect_events:
+        return state, contacts, events
     return state, contacts
 
 

@@ -23,6 +23,9 @@ parser.add_argument("--out", default="showcase.png")
 parser.add_argument("--physics-steps", type=int, default=180)
 parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"])
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"])
+parser.add_argument("--audio", default=None, metavar="OUT.WAV",
+                    help="mix collision-impact sounds from the physics "
+                         "settle into a stereo WAV")
 parser.add_argument("--envmap", default=None,
                     help="HDR equirect .hdr/.exr for the textured sky; "
                          "'procedural' for the gradient sky; default: the "
@@ -114,11 +117,50 @@ for i in range(6):
         phys_shapes.append(("sphere", body))
 arch, pstate = pb.finalize()
 settings_p = PhysicsSettings()
-step = jax.jit(lambda s: physics_step(arch, s, settings_p, 1 / 60,
-                                      num_substeps=2)[0])
-for _ in range(args.physics_steps):
-    pstate = step(pstate)
+impacts = []            # (time, position, speed) from collision-begin events
+if args.audio:
+    # Per-substep collision events (reference: per-internal-step collision
+    # callbacks with contact velocity, physics.cpp:1037).
+    step_ev = jax.jit(lambda s, pa: physics_step(
+        arch, s, settings_p, 1 / 60, num_substeps=2,
+        collect_events=True, prev_active=pa))
+    prev_active = None
+    for f in range(args.physics_steps):
+        pstate, contacts, ev = step_ev(pstate, prev_active)
+        prev_active = ev.active
+        begin = np.asarray(ev.begin)
+        if begin.any():
+            speeds = np.asarray(ev.approach_speed)[begin]
+            pts = np.asarray(contacts.point[:, 0])[begin]
+            for p, s in zip(pts, speeds):
+                if s > 0.8:
+                    impacts.append((f / 60.0, tuple(map(float, p)), float(s)))
+else:
+    step = jax.jit(lambda s: physics_step(arch, s, settings_p, 1 / 60,
+                                          num_substeps=2)[0])
+    for _ in range(args.physics_steps):
+        pstate = step(pstate)
 pstate = jax.device_get(pstate)
+
+if args.audio:
+    # Collision-begin events -> 3D impact sounds -> offline WAV mixdown
+    # (reference: impact-sound callbacks, application.cpp:231-240).
+    from d3d12renderer_tpu.audio.audio import AudioEngine, impact_synth
+    from d3d12renderer_tpu.audio.mixdown import mixdown, write_wav
+
+    eng = AudioEngine()
+    eng.set_listener(cam_pos, forward=(0, -0.25, 1))
+    eng.set_reverb("mountains")
+    t_prev = 0.0
+    for i, (t, p, s) in enumerate(impacts):
+        eng.advance(t - t_prev)
+        t_prev = t
+        eng.play_synth(impact_synth(s, seed=i), "sfx",
+                       volume=min(1.0, 0.25 + s / 10.0), position=p)
+    dur = args.physics_steps / 60.0 + 0.5
+    write_wav(args.audio, mixdown(eng, dur))
+    print(f"audio: {len(impacts)} impact events -> {args.audio} "
+          f"({dur:.1f}s)")
 print(f"physics settled ({args.physics_steps} frames): "
       f"heights {np.asarray(pstate.pos)[:, 1].round(2)}")
 

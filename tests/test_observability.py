@@ -195,3 +195,62 @@ def test_audio_mixdown_wav(tmp_path):
     spec = np.abs(np.fft.rfft(buf2[:, 0]))
     peak_hz = float(np.argmax(spec)) / 0.5
     assert abs(peak_hz - 330.0) < 10.0, f"decoded tone at {peak_hz} Hz"
+
+
+def test_collision_impact_sounds(tmp_path):
+    """Physics collision-begin events drive 3D impact-synth voices and the
+    mixdown has energy only after the first impact (reference: impact-sound
+    callbacks, application.cpp:231-240)."""
+    import jax
+    import numpy as np
+
+    from d3d12renderer_tpu.audio.audio import AudioEngine, impact_synth
+    from d3d12renderer_tpu.audio.mixdown import mixdown, write_wav
+    from d3d12renderer_tpu.physics.builder import SceneBuilder
+    from d3d12renderer_tpu.physics.step import physics_step
+    from d3d12renderer_tpu.physics.types import PhysicsSettings
+
+    b = SceneBuilder()
+    b.add_static_plane((0, 1, 0), 0.0)
+    body = b.add_body(position=(0.0, 1.6, 0.0))
+    b.add_sphere_collider(body, 0.5, restitution=0.1)
+    arch, state = b.finalize()
+    settings = PhysicsSettings()
+    step = jax.jit(lambda s, pa: physics_step(arch, s, settings, 1 / 60,
+                                              num_substeps=2,
+                                              collect_events=True,
+                                              prev_active=pa))
+
+    eng = AudioEngine()
+    eng.set_listener((0.0, 1.0, -4.0), forward=(0, 0, 1))
+    prev = None
+    impacts = []
+    speeds = []
+    for f in range(60):
+        state, contacts, ev = step(state, prev)
+        prev = ev.active
+        begin = np.asarray(ev.begin)
+        for p, s in zip(np.asarray(contacts.point[:, 0])[begin],
+                        np.asarray(ev.approach_speed)[begin]):
+            t = f / 60.0
+            impacts.append(t)
+            speeds.append(float(s))
+            eng.advance(t - eng.clock)
+            eng.play_synth(impact_synth(float(s)), "sfx",
+                           volume=min(1.0, 0.25 + float(s) / 10.0),
+                           position=tuple(map(float, p)))
+
+    # Free fall from 1.6 m to radius 0.5 -> impact ~ sqrt(2*1.1/9.8) ~ 0.47 s.
+    assert impacts, "sphere drop produced no collision-begin event"
+    assert 0.3 < impacts[0] < 0.6
+    # Per-substep event collection reports the real pre-solve impact speed
+    # (~g*t ~ 4.6 m/s), not the post-solve residual.
+    assert speeds[0] > 3.0, speeds
+    buf = mixdown(eng, 1.2)
+    sr = 44100
+    pre = np.abs(buf[: int((impacts[0] - 0.05) * sr)]).max()
+    post = np.abs(buf[int(impacts[0] * sr): int((impacts[0] + 0.2) * sr)]).max()
+    assert pre < 1e-6 and post > 0.01, (pre, post)
+    out = tmp_path / "impacts.wav"
+    write_wav(str(out), buf)
+    assert out.stat().st_size > 44
