@@ -211,3 +211,35 @@ def test_ray_trace_culled_any_hit_occlusion():
                                     any_hit=True)
     np.testing.assert_array_equal(np.asarray(got["hit"]), want)
     assert want.sum() > 20, "degenerate test: almost no occluded rays"
+
+
+def test_ray_trace_culled_any_hit_regroup_combo():
+    """any_hit + in-call regroup: the permutation wrapper must pass the
+    occlusion semantics through and inverse-scatter `hit` exactly."""
+    from d3d12renderer_tpu.ops.ray_trace_pallas import (
+        closest_hit_pallas_culled,
+    )
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    rng = np.random.default_rng(11)
+    meshes = []
+    for i in range(6):
+        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
+            translate=tuple(rng.uniform(-3, 3, 3)))
+        meshes.append((s, i))
+    b = bvh_mod.build_bvh(meshes)
+
+    R = 1500
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tm = rng.uniform(0.5, 10.0, (R,)).astype(np.float32)
+
+    ref = bvh_mod.closest_hit_dense(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    t_max=jnp.asarray(tm))
+    want = np.asarray(ref["hit"]) & (np.asarray(ref["t"]) < tm)
+    got = closest_hit_pallas_culled(b.dense, jnp.asarray(o), jnp.asarray(d),
+                                    t_max=jnp.asarray(tm), interpret=True,
+                                    any_hit=True, regroup=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]), want)
