@@ -29,6 +29,14 @@ TRI_CHUNK = 1024  # swept on v5e: 512 -> 6.4, 1024 -> 6.7 Mrays/s @53k tris
                   # (>=2048 exceeds VMEM); with 32x32-pixel tile-ordered rays
                   # the culled path reaches 11.2 Mrays/s @53k tris.
 
+# Escape hatch: D3D12TPU_RAY_EARLYOUT=0 disables the front-to-back visit
+# ordering + in-kernel occlusion skip (falls back to chunk-ascending visits),
+# in case a toolchain update rejects the SMEM scale input or the in-kernel
+# reduce.  Applied at trace time.
+import os as _os
+
+EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
+
 
 def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
             t_ref, tri_id_ref, u_ref, v_ref):
@@ -181,9 +189,13 @@ def _flat_visits(needed, entry):
     needed = needed | (none[:, None] & col0)
     entry = jnp.where(none[:, None] & col0, 0.0, entry)
 
-    emax = jnp.max(jnp.where(jnp.isfinite(entry) & needed, entry, 0.0))
-    scale = jnp.maximum(emax, 1e-6) / qmax
-    q = jnp.clip(entry / scale, 0.0, float(qmax)).astype(jnp.int32)
+    if EARLYOUT:
+        emax = jnp.max(jnp.where(jnp.isfinite(entry) & needed, entry, 0.0))
+        scale = jnp.maximum(emax, 1e-6) / qmax
+        q = jnp.clip(entry / scale, 0.0, float(qmax)).astype(jnp.int32)
+    else:
+        scale = jnp.ones(())
+        q = jnp.zeros(entry.shape, jnp.int32)  # chunk-ascending visit order
 
     cid = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 1)
     blk = jax.lax.broadcasted_iota(jnp.int32, (sb, nc), 0)
@@ -246,10 +258,6 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
         u_ref[:] = jnp.zeros_like(u_ref)
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
-                ).astype(jnp.float32) * scale_ref[0]
-
-    @pl.when(jnp.max(t_ref[:]) >= entry_lo)
     def _visit():
         o = o_ref[:]
         d = d_ref[:]
@@ -303,6 +311,13 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
         tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
         u_ref[:] = jnp.where(better, uk, u_ref[:])
         v_ref[:] = jnp.where(better, vk, v_ref[:])
+
+    if EARLYOUT:
+        entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
+                    ).astype(jnp.float32) * scale_ref[0]
+        pl.when(jnp.max(t_ref[:]) >= entry_lo)(_visit)
+    else:
+        _visit()
 
 
 SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
