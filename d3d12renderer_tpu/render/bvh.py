@@ -54,11 +54,104 @@ class BVH:
     dense: "DenseTris" = None
 
 
-def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True) -> BVH:
+BVH_CACHE_VERSION = 1
+BVH_CACHE_MIN_TRIS = 50_000   # don't litter the cache with tiny test scenes
+_BVH_FIELDS = ("node_min", "node_max", "node_first", "node_count",
+               "node_miss", "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1",
+               "tri_n2", "tri_uv0", "tri_uv1", "tri_uv2", "tri_material",
+               "tri_valid")
+_DENSE_FIELDS = ("n", "n_off", "e1p", "e1_off", "e2p", "e2_off", "valid",
+                 "cluster_lo", "cluster_hi")
+
+
+def _bvh_cache_dir() -> str:
+    import os
+
+    d = os.environ.get(
+        "D3D12TPU_BVH_CACHE_DIR",
+        os.path.expanduser("~/.cache/d3d12renderer_tpu/bvh"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _bvh_cache_key(meshes, use_dense: bool) -> str:
+    import hashlib
+
+    from ..ops.ray_trace_pallas import TRI_CHUNK
+
+    h = hashlib.blake2b(digest_size=20)
+    h.update(f"v{BVH_CACHE_VERSION}|leaf{LEAF_SIZE}|dense{int(use_dense)}"
+             f"|chunk{TRI_CHUNK}|dmax{DENSE_MAX_TRIS}".encode())
+    for mesh, mat_id in meshes:
+        for a in (mesh.positions, mesh.normals, mesh.uvs, mesh.indices):
+            arr = np.ascontiguousarray(a)
+            h.update(f"{arr.dtype}{arr.shape}".encode())
+            h.update(arr.tobytes())
+        h.update(str(int(mat_id)).encode())
+    return h.hexdigest()
+
+
+def _bvh_cache_load(path: str) -> Optional[BVH]:
+    try:
+        with np.load(path) as z:
+            kw = {k: jnp.asarray(z[k]) for k in _BVH_FIELDS}
+            if "dense_n" in z.files:
+                kw["dense"] = DenseTris(
+                    **{k: jnp.asarray(z["dense_" + k]) for k in _DENSE_FIELDS})
+            return BVH(**kw)
+    except Exception:
+        return None
+
+
+def _bvh_cache_save(path: str, out: BVH, keep: int = 16):
+    import os
+
+    d = {k: np.asarray(getattr(out, k)) for k in _BVH_FIELDS}
+    if out.dense is not None:
+        d.update({"dense_" + k: np.asarray(getattr(out.dense, k))
+                  for k in _DENSE_FIELDS})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **d)
+    os.replace(tmp, path)
+    # LRU prune by mtime.
+    files = sorted(
+        (os.path.join(_bvh_cache_dir(), f)
+         for f in os.listdir(_bvh_cache_dir()) if f.endswith(".npz")),
+        key=os.path.getmtime)
+    for f in files[:-keep]:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+
+
+def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True,
+              cache: Optional[bool] = None) -> BVH:
     """Build from [(mesh, material_id), ...] on the host (median split).
 
     With use_dense (default), also precomputes the MXU plane tables used by
-    the dense intersection path for scenes up to DENSE_MAX_TRIS triangles."""
+    the dense intersection path for scenes up to DENSE_MAX_TRIS triangles.
+
+    Big scenes (>= BVH_CACHE_MIN_TRIS) are disk-cached by CONTENT HASH in
+    ~/.cache/d3d12renderer_tpu/bvh — the BLAS-cache analogue of the
+    reference's derived-data `.cache.bin` (asset/model_asset.cpp:23-63):
+    the 440k-tri benchmark scene rebuilds in ~0.5 s instead of ~10 s.
+    `cache=False` (or D3D12TPU_BVH_CACHE=0) disables."""
+    import os
+
+    total_tris = sum(len(mesh.indices) for mesh, _ in meshes)
+    if cache is None:
+        cache = (os.environ.get("D3D12TPU_BVH_CACHE", "1") != "0"
+                 and total_tris >= BVH_CACHE_MIN_TRIS)
+    cpath = None
+    if cache:
+        cpath = os.path.join(_bvh_cache_dir(),
+                             _bvh_cache_key(meshes, use_dense) + ".npz")
+        if os.path.exists(cpath):
+            hit = _bvh_cache_load(cpath)
+            if hit is not None:
+                return hit
     v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mats = \
         [], [], [], [], [], [], [], [], [], []
     for mesh, mat in meshes:
@@ -194,6 +287,11 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True) -> BVH
     )
     if use_dense and out.tri_v0.shape[0] <= DENSE_MAX_TRIS:
         out = out.replace(dense=build_dense(out))
+    if cpath is not None:
+        try:
+            _bvh_cache_save(cpath, out)
+        except Exception:
+            pass
     return out
 
 

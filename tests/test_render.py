@@ -161,3 +161,34 @@ def test_dense_path_matches_bvh_traversal():
     hit = np.asarray(r1["hit"])
     np.testing.assert_allclose(np.asarray(r1["t"])[hit],
                                np.asarray(r2["t"])[hit], rtol=1e-3, atol=1e-3)
+
+
+def test_bvh_content_hash_cache(tmp_path, monkeypatch):
+    """Disk-cached BVH (the BLAS-cache analogue of the reference's
+    .cache.bin derived data) reproduces every array bit-exactly and
+    invalidates when geometry changes."""
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    monkeypatch.setenv("D3D12TPU_BVH_CACHE_DIR", str(tmp_path))
+    meshes = [(mesh_mod.uv_sphere(0.7, 12, 16), 0),
+              (mesh_mod.box((0.4, 0.4, 0.4)).transformed(
+                  translate=(1.5, 0.4, 0.0)), 1)]
+    b1 = bvh_mod.build_bvh(meshes, cache=True)
+    files = list(tmp_path.glob("*.npz"))
+    assert len(files) == 1
+    b2 = bvh_mod.build_bvh(meshes, cache=True)
+    for f in bvh_mod._BVH_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(b1, f)),
+                                      np.asarray(getattr(b2, f)))
+    assert (b2.dense is None) == (b1.dense is None)
+    if b1.dense is not None:
+        for f in bvh_mod._DENSE_FIELDS:
+            np.testing.assert_array_equal(np.asarray(getattr(b1.dense, f)),
+                                          np.asarray(getattr(b2.dense, f)))
+
+    # Different geometry -> different key (no false hit).
+    meshes2 = [(mesh_mod.uv_sphere(0.71, 12, 16), 0), meshes[1]]
+    b3 = bvh_mod.build_bvh(meshes2, cache=True)
+    assert len(list(tmp_path.glob("*.npz"))) == 2
+    assert not np.array_equal(np.asarray(b3.tri_v0), np.asarray(b1.tri_v0))
