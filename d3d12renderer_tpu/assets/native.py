@@ -30,11 +30,16 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            # Compile to a temp file + atomic rename: an in-place `g++ -o`
+            # truncates the inode, corrupting the mapping of any process
+            # that already CDLL'd the old library.
+            tmp = _LIB_PATH + f".tmp{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB_PATH, _SRC],
+                 "-o", tmp, _SRC],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.weld_vertices.restype = ctypes.c_int64
         lib.weld_vertices.argtypes = [
@@ -53,6 +58,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.obj_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.bvh_build.restype = ctypes.c_int64
+        lib.bvh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception:
         _lib = None
@@ -104,6 +117,44 @@ def compute_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
         np.add.at(out, indices[:, k], fn)
     ln = np.linalg.norm(out, axis=-1, keepdims=True)
     return (out / np.maximum(ln, 1e-12)).astype(np.float32)
+
+
+def bvh_build_arrays(lo: np.ndarray, hi: np.ndarray, cent: np.ndarray,
+                     leaf_size: int):
+    """Native median-split BVH build (native/mesh_ops.cpp bvh_build).
+
+    lo/hi/cent: (T, 3) triangle AABBs + centroids (float64).  Returns
+    (node_min f32, node_max f32, node_first i32, node_count i32,
+    node_miss i32, perm i64) in the exact layout render/bvh.py expects
+    (DFS pre-order, skip links, leaf-order permutation), or None when the
+    native library is unavailable (caller falls back to the NumPy builder)."""
+    lib = _load()
+    t = len(lo)
+    if lib is None or t == 0:
+        return None
+    lo = np.ascontiguousarray(lo, np.float64)
+    hi = np.ascontiguousarray(hi, np.float64)
+    cent = np.ascontiguousarray(cent, np.float64)
+    cap = 2 * t + 3
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    node_first = np.empty(cap, np.int32)
+    node_count = np.empty(cap, np.int32)
+    node_miss = np.empty(cap, np.int32)
+    perm = np.empty(t, np.int64)
+
+    def dptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    n = lib.bvh_build(
+        dptr(lo), dptr(hi), dptr(cent), t, leaf_size, cap,
+        _fptr(node_min), _fptr(node_max), _iptr(node_first),
+        _iptr(node_count), _iptr(node_miss),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        return None
+    return (node_min[:n].copy(), node_max[:n].copy(), node_first[:n].copy(),
+            node_count[:n].copy(), node_miss[:n].copy(), perm)
 
 
 def parse_obj_geometry(text: str) -> Tuple[np.ndarray, np.ndarray]:

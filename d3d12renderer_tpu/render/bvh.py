@@ -186,73 +186,16 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True,
     lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
 
-    # Recursive median split building (host, numpy).
-    nodes = []  # (min, max, first, count) — children at n+1; miss patched later
+    built = None
+    if os.environ.get("D3D12TPU_NATIVE_BVH", "1") != "0":
+        # Native C++ median split (native/mesh_ops.cpp bvh_build): identical
+        # split rule and node layout, ~50x the NumPy builder on big scenes.
+        from ..assets.native import bvh_build_arrays
 
-    order: List[np.ndarray] = []
-    placed = [0]  # running leaf-triangle total (NOT re-summed per leaf:
-                  # that was accidentally quadratic — 276 s at 123k tris)
-
-    def emit(tri_idx) -> int:
-        my = len(nodes)
-        bb_lo = lo[tri_idx].min(axis=0)
-        bb_hi = hi[tri_idx].max(axis=0)
-        if len(tri_idx) <= LEAF_SIZE:
-            first = placed[0]
-            placed[0] += len(tri_idx)
-            order.append(tri_idx)
-            nodes.append([bb_lo, bb_hi, first, len(tri_idx)])
-            return my
-        nodes.append([bb_lo, bb_hi, -1, 0])
-        c = centroids[tri_idx]
-        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        med = np.argsort(c[:, axis])
-        half = len(tri_idx) // 2
-        emit(tri_idx[med[:half]])
-        emit(tri_idx[med[half:]])
-        return my
-
-    import sys
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(100000)
-    try:
-        emit(np.arange(len(v0)))
-    finally:
-        sys.setrecursionlimit(old_limit)
-
-    n_nodes = len(nodes)
-    # Miss links: in DFS order, node i's miss = next sibling of the nearest
-    # ancestor (derived from subtree sizes).
-    miss = np.full(n_nodes, n_nodes, np.int32)
-    memo = {}
-
-    def subtree_size_memo(i):
-        if i in memo:
-            return memo[i]
-        if nodes[i][3] > 0:
-            memo[i] = 1
-            return 1
-        left = i + 1
-        ls = subtree_size_memo(left)
-        right = left + ls
-        rs = subtree_size_memo(right)
-        memo[i] = 1 + ls + rs
-        return memo[i]
-
-    # Iterative assignment of miss links.
-    stack = [(0, n_nodes)]
-    while stack:
-        i, m = stack.pop()
-        miss[i] = m
-        if nodes[i][3] == 0:  # inner
-            left = i + 1
-            ls = subtree_size_memo(left)
-            right = left + ls
-            stack.append((left, right))
-            stack.append((right, m))
-
-    # Reorder triangles by leaf order, pad to multiple of LEAF_SIZE.
-    perm = np.concatenate(order) if order else np.zeros(0, np.int64)
+        built = bvh_build_arrays(lo, hi, centroids, LEAF_SIZE)
+    if built is None:
+        built = _build_nodes_numpy(lo, hi, centroids)
+    node_min, node_max, node_first, node_count, miss, perm = built
     t = len(perm)
     pad = (-t) % LEAF_SIZE if t else LEAF_SIZE
     valid = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
@@ -261,12 +204,6 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True,
         out = a[perm]
         padding = np.full((pad,) + a.shape[1:], fill, a.dtype)
         return np.concatenate([out, padding])
-
-    node_min = np.stack([n[0] for n in nodes]).astype(np.float32)
-    node_max = np.stack([n[1] for n in nodes]).astype(np.float32)
-    node_first = np.array([n[2] for n in nodes], np.int32)
-    node_count = np.array([n[3] for n in nodes], np.int32)
-
     out = BVH(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
@@ -293,6 +230,82 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True,
         except Exception:
             pass
     return out
+
+
+def _build_nodes_numpy(lo, hi, centroids):
+    """NumPy fallback of the median-split build (same layout as the native
+    `bvh_build` in native/mesh_ops.cpp): DFS pre-order nodes, skip links,
+    leaf-order triangle permutation."""
+    nodes = []  # (min, max, first, count) — children at n+1
+    order: List[np.ndarray] = []
+    placed = [0]  # running leaf-triangle total (NOT re-summed per leaf:
+                  # that was accidentally quadratic — 276 s at 123k tris)
+
+    def emit(tri_idx) -> int:
+        my = len(nodes)
+        bb_lo = lo[tri_idx].min(axis=0)
+        bb_hi = hi[tri_idx].max(axis=0)
+        if len(tri_idx) <= LEAF_SIZE:
+            first = placed[0]
+            placed[0] += len(tri_idx)
+            order.append(tri_idx)
+            nodes.append([bb_lo, bb_hi, first, len(tri_idx)])
+            return my
+        nodes.append([bb_lo, bb_hi, -1, 0])
+        c = centroids[tri_idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        # Tie-break by global triangle index so the split SET is unique —
+        # keeps the tree identical to the native builder's nth_element.
+        med = np.lexsort((tri_idx, c[:, axis]))
+        half = len(tri_idx) // 2
+        emit(tri_idx[med[:half]])
+        emit(tri_idx[med[half:]])
+        return my
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    try:
+        emit(np.arange(len(lo)))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    n_nodes = len(nodes)
+    # Miss links: in DFS order, node i's miss = next sibling of the nearest
+    # ancestor (derived from subtree sizes).
+    miss = np.full(n_nodes, n_nodes, np.int32)
+    memo = {}
+
+    def subtree_size_memo(i):
+        if i in memo:
+            return memo[i]
+        if nodes[i][3] > 0:
+            memo[i] = 1
+            return 1
+        left = i + 1
+        ls = subtree_size_memo(left)
+        right = left + ls
+        rs = subtree_size_memo(right)
+        memo[i] = 1 + ls + rs
+        return memo[i]
+
+    stack = [(0, n_nodes)]
+    while stack:
+        i, m = stack.pop()
+        miss[i] = m
+        if nodes[i][3] == 0:  # inner
+            left = i + 1
+            ls = subtree_size_memo(left)
+            right = left + ls
+            stack.append((left, right))
+            stack.append((right, m))
+
+    perm = np.concatenate(order) if order else np.zeros(0, np.int64)
+    node_min = np.stack([n[0] for n in nodes]).astype(np.float32)
+    node_max = np.stack([n[1] for n in nodes]).astype(np.float32)
+    node_first = np.array([n[2] for n in nodes], np.int32)
+    node_count = np.array([n[3] for n in nodes], np.int32)
+    return node_min, node_max, node_first, node_count, miss, perm
 
 
 def _ray_aabb(o, inv_d, lo, hi, t_max):

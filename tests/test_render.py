@@ -163,6 +163,41 @@ def test_dense_path_matches_bvh_traversal():
                                np.asarray(r2["t"])[hit], rtol=1e-3, atol=1e-3)
 
 
+def test_native_bvh_builder_matches_numpy(monkeypatch):
+    """The C++ median-split builder (native/mesh_ops.cpp bvh_build) and the
+    NumPy fallback produce the same tree: identical node layout/bounds/skip
+    links, and the same triangle SET per leaf (within-leaf order may differ
+    — nth_element vs argsort tie handling — which cannot change any ray
+    result)."""
+    from d3d12renderer_tpu.assets.native import native_available
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    meshes = [(mesh_mod.uv_sphere(0.7, 14, 20), 0),
+              (mesh_mod.box((0.4, 0.3, 0.5)).transformed(
+                  translate=(1.5, 0.4, 0.0)), 1),
+              (mesh_mod.quad(6.0), 2)]
+    monkeypatch.setenv("D3D12TPU_NATIVE_BVH", "1")
+    bn = bvh_mod.build_bvh(meshes, use_dense=False, cache=False)
+    monkeypatch.setenv("D3D12TPU_NATIVE_BVH", "0")
+    bp = bvh_mod.build_bvh(meshes, use_dense=False, cache=False)
+
+    for f in ("node_min", "node_max", "node_first", "node_count",
+              "node_miss"):
+        np.testing.assert_array_equal(np.asarray(getattr(bn, f)),
+                                      np.asarray(getattr(bp, f)), err_msg=f)
+    # Same triangles in each leaf (compare as sets via sorted v0 rows).
+    first = np.asarray(bn.node_first)
+    count = np.asarray(bn.node_count)
+    vn, vp = np.asarray(bn.tri_v0), np.asarray(bp.tri_v0)
+    for f, c in zip(first[count > 0], count[count > 0]):
+        a = np.sort(vn[f:f + c].round(5).view([("", vn.dtype)] * 3), axis=0)
+        b = np.sort(vp[f:f + c].round(5).view([("", vp.dtype)] * 3), axis=0)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_bvh_content_hash_cache(tmp_path, monkeypatch):
     """Disk-cached BVH (the BLAS-cache analogue of the reference's
     .cache.bin derived data) reproduces every array bit-exactly and
