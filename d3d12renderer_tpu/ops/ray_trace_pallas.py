@@ -37,23 +37,28 @@ import os as _os
 
 EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
 
+# Packed-key winner selection (D3D12TPU_RAY_PACKSEL=0 disables): the per-visit
+# one-hot argmin (iota/==/where/min chains + u/v select, ~9 VPU passes over
+# the (RAY_BLOCK, TRI_CHUNK) tile) collapses to ONE int32 min-reduce over
+# bitcast(t) & ~(C-1) | column — valid because t >= 0 makes its f32 bits
+# order-preserving as int32.  The winning column steals the low 10 mantissa
+# bits, so among triangles whose t agree to ~1.2e-4 relative the lower column
+# wins; `t` itself stays the exact minimum (separate f32 reduce), and the
+# winner's u/v are recomputed OUTSIDE the kernel from its plane row (the
+# kernel no longer carries per-ray u/v at all).
+PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 
-def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
-            t_ref, tri_id_ref, u_ref, v_ref):
-    tc = pl.program_id(1)
 
-    @pl.when(tc == 0)
-    def _init():
-        t_ref[:] = tmax_ref[:]
-        tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
-        u_ref[:] = jnp.zeros_like(u_ref)
-        v_ref[:] = jnp.zeros_like(v_ref)
+def _best_in_chunk(o, d, tri, t_best):
+    """Closest accepted hit of a ray block against one triangle chunk.
 
-    o = o_ref[:]          # (RB, 3)
-    d = d_ref[:]          # (RB, 3)
-    tri = tri_ref[:]      # (16, C) rows: n(3), n_off, e1p(3), e1_off,
-    n = tri[0:3]          #               e2p(3), e2_off, valid, pad(3)
-    n_off = tri[3]
+    o/d (RB, 3); tri (16, C) plane table rows; t_best (RB,) current best.
+    Returns (t_min, win, uk, vk): t_min (RB,) exact min accepted t (inf where
+    none), win (RB,) winning chunk-local column, uk/vk (RB,) the winner's
+    barycentrics on the one-hot path or None on the PACKSEL path (caller
+    recomputes u/v outside the kernel from the winner's plane row)."""
+    n = tri[0:3]          # rows: n(3), n_off, e1p(3), e1_off,
+    n_off = tri[3]        #       e2p(3), e2_off, valid, pad(3)
     e1p = tri[4:7]
     e1_off = tri[7]
     e2p = tri[8:11]
@@ -70,28 +75,53 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref,
     u = uo + t * ud + e1_off[None, :]
     v = vo + t * vd + e2_off[None, :]
 
-    t_best = t_ref[:]
     ok = (
         (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
         & (u >= 0) & (v >= 0) & (u + v <= 1)
     )
     t_m = jnp.where(ok, t, jnp.inf)
-    # Min + one-hot select (gathers don't lower in Mosaic).
     c = t_m.shape[1]
-    t_min = jnp.min(t_m, axis=-1)                                 # (RB,)
     cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+    t_min = jnp.min(t_m, axis=-1)                                 # (RB,)
+    if PACKSEL:
+        # One int32 reduce replaces the iota/==/where/min one-hot chain:
+        # t_m >= 0, so its f32 bits are order-preserving as int32; the
+        # winning column rides the low log2(C) mantissa bits (see PACKSEL).
+        assert c & (c - 1) == 0, c
+        key = ((jax.lax.bitcast_convert_type(t_m, jnp.int32)
+                & jnp.int32(~(c - 1))) | cols)
+        win = jnp.min(key, axis=-1) & (c - 1)                     # (RB,)
+        return t_min, win, None, None
     is_min = t_m == t_min[:, None]
     first = jnp.min(jnp.where(is_min, cols, c), axis=-1)          # (RB,)
     sel = cols == first[:, None]
     uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
     vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+    return t_min, first, uk, vk
 
+
+def _kernel(o_ref, d_ref, tmax_ref, tri_ref, t_ref, tri_id_ref,
+            u_ref=None, v_ref=None):
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _init():
+        t_ref[:] = tmax_ref[:]
+        tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
+        if not PACKSEL:
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+
+    t_best = t_ref[:]
+    t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tri_ref[:],
+                                        t_best)
     better = t_min < t_best
-    base = tc * c
+    base = tc * tri_ref.shape[1]
     t_ref[:] = jnp.where(better, t_min, t_best)
-    tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
-    u_ref[:] = jnp.where(better, uk, u_ref[:])
-    v_ref[:] = jnp.where(better, vk, v_ref[:])
+    tri_id_ref[:] = jnp.where(better, base + win, tri_id_ref[:])
+    if not PACKSEL:
+        u_ref[:] = jnp.where(better, uk, u_ref[:])
+        v_ref[:] = jnp.where(better, vk, v_ref[:])
 
 
 def pack_tris(dense) -> jnp.ndarray:
@@ -231,7 +261,7 @@ def regroup_perm(o, d, lo, hi):
 
 
 def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
-                   t_ref, tri_id_ref, u_ref, v_ref, *, entry_bits,
+                   t_ref, tri_id_ref, u_ref=None, v_ref=None, *, entry_bits,
                    chunk_bits, any_hit=False):
     """Same math as _kernel, but grid step v processes the visit
     packed[v] = blk | entry_q | chunk (see _flat_visits): the BlockSpecs
@@ -255,50 +285,17 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
     def _init():
         t_ref[:] = tmax_ref[:]
         tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
-        u_ref[:] = jnp.zeros_like(u_ref)
-        v_ref[:] = jnp.zeros_like(v_ref)
+        if not PACKSEL:
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
 
     def _visit():
-        o = o_ref[:]
-        d = d_ref[:]
-        tri = tri_ref[:]
-        n = tri[0:3]
-        n_off = tri[3]
-        e1p = tri[4:7]
-        e1_off = tri[7]
-        e2p = tri[8:11]
-        e2_off = tri[11]
-        valid = tri[12]
-
-        no = jnp.dot(o, n, preferred_element_type=jnp.float32)
-        nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
-        t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12,
-                                              jnp.inf, nd)
-        uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
-        ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
-        vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
-        vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
-        u = uo + t * ud + e1_off[None, :]
-        v = vo + t * vd + e2_off[None, :]
-
         t_best = t_ref[:]
-        ok = (
-            (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
-            & (u >= 0) & (v >= 0) & (u + v <= 1)
-        )
-        t_m = jnp.where(ok, t, jnp.inf)
-        c = t_m.shape[1]
-        t_min = jnp.min(t_m, axis=-1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-        is_min = t_m == t_min[:, None]
-        first = jnp.min(jnp.where(is_min, cols, c), axis=-1)
-        sel = cols == first[:, None]
-        uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
-        vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
-
+        t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tri_ref[:],
+                                            t_best)
         better = t_min < t_best
         chunk = word & ((1 << chunk_bits) - 1)
-        base = chunk * c
+        base = chunk * tri_ref.shape[1]
         t_new = jnp.where(better, t_min, t_best)
         if any_hit:
             # Occlusion query: any hit below t_max settles the ray.  Collapse
@@ -308,9 +305,10 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             t_new = jnp.where((tri_id_ref[:] >= 0) | better,
                               jnp.float32(1.01e-4), t_new)
         t_ref[:] = t_new
-        tri_id_ref[:] = jnp.where(better, base + first, tri_id_ref[:])
-        u_ref[:] = jnp.where(better, uk, u_ref[:])
-        v_ref[:] = jnp.where(better, vk, v_ref[:])
+        tri_id_ref[:] = jnp.where(better, base + win, tri_id_ref[:])
+        if not PACKSEL:
+            u_ref[:] = jnp.where(better, uk, u_ref[:])
+            v_ref[:] = jnp.where(better, vk, v_ref[:])
 
     if EARLYOUT:
         entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
@@ -318,6 +316,20 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
         pl.when(jnp.max(t_ref[:]) >= entry_lo)(_visit)
     else:
         _visit()
+
+
+def _uv_outside(dense, origin, direction, t, tri, hit, any_hit):
+    """Winner barycentrics recomputed from the hit triangle's plane row
+    (PACKSEL path: the kernel no longer carries per-ray u/v).  R-sized
+    gathers + dots in XLA — negligible next to the kernel."""
+    if any_hit:  # occlusion queries never consume uv
+        return jnp.zeros(t.shape + (2,), jnp.float32)
+    ti = jnp.maximum(tri, 0)
+    p = origin + t[:, None] * direction
+    u = jnp.sum(p * dense.e1p[ti], -1) + dense.e1_off[ti]
+    v = jnp.sum(p * dense.e2p[ti], -1) + dense.e2_off[ti]
+    uv = jnp.stack([u, v], -1)
+    return jnp.where(hit[:, None], uv, 0.0)
 
 
 SLAB_BLOCKS = 64  # ray blocks per pallas_call at small chunk counts
@@ -389,12 +401,13 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
                             memory_space=pltpu.VMEM)
     per_ray = pl.BlockSpec((RAY_BLOCK,), lambda v, pk: (pk[v] >> bshift,),
                            memory_space=pltpu.VMEM)
+    n_out = 2 if PACKSEL else 4
     out_shapes = (
         jax.ShapeDtypeStruct((slab,), jnp.float32),
         jax.ShapeDtypeStruct((slab,), jnp.int32),
         jax.ShapeDtypeStruct((slab,), jnp.float32),
         jax.ShapeDtypeStruct((slab,), jnp.float32),
-    )
+    )[:n_out]
 
     def one_slab(args):
         o_s, d_s, tm_s = args  # (slab, 3), (slab, 3), (slab,)
@@ -416,7 +429,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
                              lambda v, pk: (0, pk[v] & cmask),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(per_ray, per_ray, per_ray, per_ray),
+            out_specs=(per_ray, per_ray, per_ray, per_ray)[:n_out],
         )
         return pl.pallas_call(
             functools.partial(_culled_kernel, entry_bits=entry_bits,
@@ -427,19 +440,22 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
         )(packed, scale, o_s, d_s, tm_s, tbl)
 
     if nslabs == 1:
-        t, tri, u, v = one_slab((o, d, tmax))
+        outs = one_slab((o, d, tmax))
     else:
-        t, tri, u, v = jax.lax.map(
+        outs = jax.lax.map(
             one_slab,
             (o.reshape(nslabs, slab, 3), d.reshape(nslabs, slab, 3),
              tmax.reshape(nslabs, slab)),
         )
-        t, tri, u, v = (x.reshape(-1) for x in (t, tri, u, v))
+        outs = tuple(x.reshape(-1) for x in outs)
 
-    t = t[:r]
-    tri = tri[:r]
-    uv = jnp.stack([u[:r], v[:r]], -1)
+    t = outs[0][:r]
+    tri = outs[1][:r]
     hit = tri >= 0
+    if PACKSEL:
+        uv = _uv_outside(dense, origin, direction, t, tri, hit, any_hit)
+    else:
+        uv = jnp.stack([outs[2][:r], outs[3][:r]], -1)
     return {"t": t, "tri": tri, "uv": uv, "hit": hit}
 
 
@@ -471,18 +487,19 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
 
     grid = (rp // RAY_BLOCK, t_count // TRI_CHUNK)
 
+    n_out = 2 if PACKSEL else 4
     out_shapes = (
         jax.ShapeDtypeStruct((rp,), jnp.float32),
         jax.ShapeDtypeStruct((rp,), jnp.int32),
         jax.ShapeDtypeStruct((rp,), jnp.float32),
         jax.ShapeDtypeStruct((rp,), jnp.float32),
-    )
+    )[:n_out]
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda rb, tc: (rb, 0),
                             memory_space=pltpu.VMEM)
     per_ray = pl.BlockSpec((RAY_BLOCK,), lambda rb, tc: (rb,),
                            memory_space=pltpu.VMEM)
 
-    t, tri, u, v = pl.pallas_call(
+    outs = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
@@ -490,13 +507,16 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
             pl.BlockSpec((16, TRI_CHUNK), lambda rb, tc: (0, tc),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(per_ray, per_ray, per_ray, per_ray),
+        out_specs=(per_ray, per_ray, per_ray, per_ray)[:n_out],
         out_shape=out_shapes,
         interpret=interpret,
     )(o, d, tmax, tbl)
 
-    t = t[:r]
-    tri = tri[:r]
-    uv = jnp.stack([u[:r], v[:r]], -1)
+    t = outs[0][:r]
+    tri = outs[1][:r]
     hit = tri >= 0
+    if PACKSEL:
+        uv = _uv_outside(dense, origin, direction, t, tri, hit, any_hit)
+    else:
+        uv = jnp.stack([outs[2][:r], outs[3][:r]], -1)
     return {"t": t, "tri": tri, "uv": uv, "hit": hit}

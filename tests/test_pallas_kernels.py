@@ -243,3 +243,46 @@ def test_ray_trace_culled_any_hit_regroup_combo():
                                     t_max=jnp.asarray(tm), interpret=True,
                                     any_hit=True, regroup=True)
     np.testing.assert_array_equal(np.asarray(got["hit"]), want)
+
+
+def test_ray_trace_packsel_matches_onehot(monkeypatch):
+    """The packed-key winner select (PACKSEL: one int32 min-reduce with the
+    column in the low mantissa bits) returns the same hits, exact-identical
+    t, and matching uv as the one-hot argmin chain it replaces."""
+    from d3d12renderer_tpu.ops import ray_trace_pallas as rtp
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render import mesh as mesh_mod
+
+    rng = np.random.default_rng(5)
+    meshes = []
+    for i in range(6):
+        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
+            translate=tuple(rng.uniform(-3, 3, 3)))
+        meshes.append((s, i))
+    b = bvh_mod.build_bvh(meshes)
+
+    R = 2000
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    monkeypatch.setattr(rtp, "PACKSEL", True)
+    fast = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
+                                         jnp.asarray(d), interpret=True)
+    monkeypatch.setattr(rtp, "PACKSEL", False)
+    ref = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
+                                        jnp.asarray(d), interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(fast["hit"]),
+                                  np.asarray(ref["hit"]))
+    m = np.asarray(ref["hit"])
+    assert m.sum() > 50
+    # t is the exact min on both paths (PACKSEL only approximates the
+    # ARGmin among sub-1e-4-relative ties).
+    np.testing.assert_array_equal(np.asarray(fast["t"])[m],
+                                  np.asarray(ref["t"])[m])
+    same = np.asarray(fast["tri"])[m] == np.asarray(ref["tri"])[m]
+    assert same.mean() > 0.999, f"tri winners diverged: {1 - same.mean():.4f}"
+    np.testing.assert_allclose(np.asarray(fast["uv"])[m][same],
+                               np.asarray(ref["uv"])[m][same],
+                               rtol=2e-3, atol=2e-3)
