@@ -63,7 +63,8 @@ def _best_in_chunk(o, d, tri, t_best):
     e1_off = tri[7]
     e2p = tri[8:11]
     e2_off = tri[11]
-    valid = tri[12]       # 1.0 for real triangles
+    # No explicit `valid` test: padding rows are all-zero planes, so nd = 0
+    # forces t = 0 there, which the t > 1e-4 window already rejects.
 
     no = jnp.dot(o, n, preferred_element_type=jnp.float32)       # (RB, C)
     nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
@@ -75,10 +76,9 @@ def _best_in_chunk(o, d, tri, t_best):
     u = uo + t * ud + e1_off[None, :]
     v = vo + t * vd + e2_off[None, :]
 
-    ok = (
-        (valid[None, :] > 0) & (t > 1e-4) & (t < t_best[:, None])
-        & (u >= 0) & (v >= 0) & (u + v <= 1)
-    )
+    # min-form inside test: one compare instead of three.
+    inside = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v)) >= 0
+    ok = (t > 1e-4) & (t < t_best[:, None]) & inside
     t_m = jnp.where(ok, t, jnp.inf)
     c = t_m.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
