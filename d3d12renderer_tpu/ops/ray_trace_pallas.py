@@ -48,6 +48,17 @@ EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
 # kernel no longer carries per-ray u/v at all).
 PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 
+# In-kernel sub-cluster culling (D3D12TPU_RAY_SUBCULL=0 disables): each
+# 1024-tri chunk carries SUB_CLUSTERS 128-tri sub-cluster AABBs (packed into
+# the spare plane-table rows 13/14 at 128-aligned lane offsets).  A visit
+# slab-tests the block's rays against each sub-AABB — (RB, 3) work — and
+# skips the whole (RB, 128) intersection sub-tile when no ray can reach it
+# closer than its current best hit.  This is the lateral complement of the
+# front-to-back early-out: a coherent ray block's narrow frustum usually
+# overlaps a chunk's AABB but only 1-2 of its 8 sub-clusters.
+SUBCULL = _os.environ.get("D3D12TPU_RAY_SUBCULL", "1") != "0"
+SUB_CLUSTERS = 8
+
 
 def _best_in_chunk(o, d, tri, t_best):
     """Closest accepted hit of a ray block against one triangle chunk.
@@ -126,7 +137,13 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref, t_ref, tri_id_ref,
 
 def pack_tris(dense) -> jnp.ndarray:
     """(16, T) row-major plane+validity table (transposed so kernel
-    slices are contiguous rows and the dots need no in-kernel transpose)."""
+    slices are contiguous rows and the dots need no in-kernel transpose).
+
+    Rows 13/14 carry the sub-cluster AABBs when the table has them:
+    sub-cluster j's lo sits at row 13, lanes [128j, 128j+3), its hi at
+    row 14 (128-aligned so in-kernel loads stay lane-aligned).  Empty
+    (all-padding) sub-clusters store NaN bounds — every slab comparison
+    is then false, so the kernel never visits them."""
     t = dense.n.shape[0]
     pad = (-t) % TRI_CHUNK
     tbl = jnp.concatenate([
@@ -136,7 +153,21 @@ def pack_tris(dense) -> jnp.ndarray:
         dense.valid.astype(jnp.float32)[:, None],
         jnp.zeros((t, 3), jnp.float32),
     ], axis=-1)
-    return jnp.pad(tbl, ((0, pad), (0, 0))).T
+    tbl = jnp.pad(tbl, ((0, pad), (0, 0))).T
+    if getattr(dense, "sub_lo", None) is not None:
+        nc = tbl.shape[1] // TRI_CHUNK
+        sw = TRI_CHUNK // SUB_CLUSTERS
+        sl = jnp.asarray(dense.sub_lo, jnp.float32)
+        sh = jnp.asarray(dense.sub_hi, jnp.float32)
+        empty = ~jnp.isfinite(sl[..., 0])
+        sl = jnp.where(empty[..., None], jnp.nan, sl)
+        sh = jnp.where(empty[..., None], jnp.nan, sh)
+        r13 = jnp.zeros((nc, SUB_CLUSTERS, sw), jnp.float32)
+        r13 = r13.at[:, :, :3].set(sl)
+        r14 = jnp.zeros((nc, SUB_CLUSTERS, sw), jnp.float32)
+        r14 = r14.at[:, :, :3].set(sh)
+        tbl = tbl.at[13].set(r13.reshape(-1)).at[14].set(r14.reshape(-1))
+    return tbl
 
 
 def _cluster_cull(origin, direction, t_max, lo, hi, group=64):
@@ -262,7 +293,7 @@ def regroup_perm(o, d, lo, hi):
 
 def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
                    t_ref, tri_id_ref, u_ref=None, v_ref=None, *, entry_bits,
-                   chunk_bits, any_hit=False):
+                   chunk_bits, any_hit=False, subcull=False):
     """Same math as _kernel, but grid step v processes the visit
     packed[v] = blk | entry_q | chunk (see _flat_visits): the BlockSpecs
     route the right ray block and triangle chunk in, and outputs re-init
@@ -289,13 +320,15 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             u_ref[:] = jnp.zeros_like(u_ref)
             v_ref[:] = jnp.zeros_like(v_ref)
 
-    def _visit():
+    chunk = word & ((1 << chunk_bits) - 1)
+
+    def _do_tile(col0, width):
         t_best = t_ref[:]
-        t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tri_ref[:],
-                                            t_best)
+        tile = (tri_ref[:] if width == tri_ref.shape[1]
+                else tri_ref[:, col0:col0 + width])
+        t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tile, t_best)
         better = t_min < t_best
-        chunk = word & ((1 << chunk_bits) - 1)
-        base = chunk * tri_ref.shape[1]
+        base = chunk * tri_ref.shape[1] + col0
         t_new = jnp.where(better, t_min, t_best)
         if any_hit:
             # Occlusion query: any hit below t_max settles the ray.  Collapse
@@ -309,6 +342,31 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
         if not PACKSEL:
             u_ref[:] = jnp.where(better, uk, u_ref[:])
             v_ref[:] = jnp.where(better, vk, v_ref[:])
+
+    def _visit():
+        if not subcull:
+            _do_tile(0, tri_ref.shape[1])
+            return
+        # Sub-cluster skip: slab-test every ray against each 128-tri
+        # sub-AABB (rows 13/14 of the table; NaN rows = empty, all
+        # comparisons false) and drop whole sub-tiles nobody can reach
+        # before their current best hit.  Sequential updates tighten
+        # t_ref between sub-tiles, so later ones prune harder.
+        o = o_ref[:]
+        d = d_ref[:]
+        inv_d = 1.0 / jnp.where(
+            jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+        sw = tri_ref.shape[1] // SUB_CLUSTERS
+        for j in range(SUB_CLUSTERS):
+            lo_j = tri_ref[13, j * sw:j * sw + 3]
+            hi_j = tri_ref[14, j * sw:j * sw + 3]
+            t0 = (lo_j[None, :] - o) * inv_d
+            t1 = (hi_j[None, :] - o) * inv_d
+            tmin = jnp.maximum(jnp.minimum(t0, t1).max(-1), 1e-4)
+            tmax = jnp.maximum(t0, t1).min(-1)
+            reach = (tmax >= tmin) & (tmin < t_ref[:])
+            pl.when(jnp.any(reach))(
+                functools.partial(_do_tile, j * sw, sw))
 
     if EARLYOUT:
         entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
@@ -377,6 +435,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
+    subcull = SUBCULL and getattr(dense, "sub_lo", None) is not None
     # Even at one ray block per slab, the prefetched (1 x nc) chunk-id table
     # must fit the ~16 KB SMEM budget.
     assert nc <= 4096, (
@@ -433,7 +492,8 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
         )
         return pl.pallas_call(
             functools.partial(_culled_kernel, entry_bits=entry_bits,
-                              chunk_bits=chunk_bits, any_hit=any_hit),
+                              chunk_bits=chunk_bits, any_hit=any_hit,
+                              subcull=subcull),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,

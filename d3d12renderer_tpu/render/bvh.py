@@ -54,14 +54,14 @@ class BVH:
     dense: "DenseTris" = None
 
 
-BVH_CACHE_VERSION = 1
+BVH_CACHE_VERSION = 2  # v2: sub-cluster AABBs in DenseTris
 BVH_CACHE_MIN_TRIS = 50_000   # don't litter the cache with tiny test scenes
 _BVH_FIELDS = ("node_min", "node_max", "node_first", "node_count",
                "node_miss", "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1",
                "tri_n2", "tri_uv0", "tri_uv1", "tri_uv2", "tri_material",
                "tri_valid")
 _DENSE_FIELDS = ("n", "n_off", "e1p", "e1_off", "e2p", "e2_off", "valid",
-                 "cluster_lo", "cluster_hi")
+                 "cluster_lo", "cluster_hi", "sub_lo", "sub_hi")
 
 
 def _bvh_cache_dir() -> str:
@@ -394,6 +394,10 @@ class DenseTris:
     valid: jnp.ndarray      # (T,)
     cluster_lo: jnp.ndarray = None  # (ceil(T/TRI_CHUNK), 3)
     cluster_hi: jnp.ndarray = None
+    sub_lo: jnp.ndarray = None      # (ceil(T/TRI_CHUNK), SUB_CLUSTERS, 3)
+    sub_hi: jnp.ndarray = None      # 128-tri sub-cluster AABBs (in-kernel
+                                    # sub-tile culling; packed into plane-
+                                    # table rows 13/14 by pack_tris)
 
 
 def build_dense(bvh: BVH) -> DenseTris:
@@ -407,7 +411,7 @@ def build_dense(bvh: BVH) -> DenseTris:
 
     # Per-chunk AABBs over the leaf-ordered soup; padding rows contribute
     # inverted (+inf/-inf) bounds so empty chunks never pass the slab test.
-    from ..ops.ray_trace_pallas import TRI_CHUNK
+    from ..ops.ray_trace_pallas import SUB_CLUSTERS, TRI_CHUNK
     t = v0.shape[0]
     pad = (-t) % TRI_CHUNK
     tlo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2)
@@ -419,6 +423,13 @@ def build_dense(bvh: BVH) -> DenseTris:
     thi = jnp.pad(thi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
     cluster_lo = tlo.reshape(-1, TRI_CHUNK, 3).min(axis=1)
     cluster_hi = thi.reshape(-1, TRI_CHUNK, 3).max(axis=1)
+    # Sub-cluster AABBs: SUB_CLUSTERS column ranges per chunk, for the
+    # in-kernel sub-tile skip (empty sub-AABBs stay +inf/-inf: slab-test
+    # rejected, so padded sub-tiles are never visited).
+    sub_lo = tlo.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
+                         3).min(axis=2)
+    sub_hi = thi.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
+                         3).max(axis=2)
 
     return DenseTris(
         n=n,
@@ -430,6 +441,8 @@ def build_dense(bvh: BVH) -> DenseTris:
         valid=bvh.tri_valid,
         cluster_lo=cluster_lo,
         cluster_hi=cluster_hi,
+        sub_lo=sub_lo,
+        sub_hi=sub_hi,
     )
 
 
