@@ -74,8 +74,32 @@ def rows():
     di /= np.linalg.norm(di, axis=-1, keepdims=True)
     di = jnp.asarray(di)
     if args.platform == "axon":
+        from d3d12renderer_tpu.ops import ray_trace_pallas as rtp
+
+        def with_flags(fn, **flags):
+            """Trace-time flag toggle: PACKSEL/SUBCULL etc. are read when
+            the kernel traces, so setting them inside the jitted fn body
+            bakes them into that row's compile only."""
+            def wrapped(*a):
+                old = {k: getattr(rtp, k) for k in flags}
+                for k, v in flags.items():
+                    setattr(rtp, k, v)
+                try:
+                    return fn(*a)
+                finally:
+                    for k, v in old.items():
+                        setattr(rtp, k, v)
+            return wrapped
+
+        hit_t = lambda o, d: closest_hit_pallas(b.dense, o, d)["t"]  # noqa: E731
         yield ("pallas culled rays, coherent tiles (64k rays, 53k tris)",
-               lambda o, d: closest_hit_pallas(b.dense, o, d)["t"], (o, dc))
+               hit_t, (o, dc))
+        yield ("  ablation: packed-key select OFF",
+               with_flags(hit_t, PACKSEL=False), (o, dc))
+        yield ("  ablation: sub-cluster culling OFF",
+               with_flags(hit_t, SUBCULL=False), (o, dc))
+        yield ("  ablation: occlusion early-out OFF",
+               with_flags(hit_t, EARLYOUT=False), (o, dc))
         yield ("pallas culled rays, incoherent (64k rays, 53k tris)",
                lambda o, d: closest_hit_pallas(b.dense, o, d)["t"], (o, di))
         yield ("pallas culled rays, incoherent + in-call regroup",
@@ -84,6 +108,30 @@ def rows():
         yield ("pallas culled rays, any-hit shadow (64k rays)",
                lambda o, d: closest_hit_pallas(b.dense, o, d,
                                                any_hit=True)["hit"], (o, dc))
+
+        # --- big scene: ~495k tris, 1080p-class coherent wavefront --------
+        big = []
+        for ix in range(8):
+            for iz in range(8):
+                s = uv_sphere(0.45, 44, 88).transformed(
+                    translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
+                big.append((s, (ix + iz) % 4))
+        big.append((quad(8.0), 0))
+        bb = bvh_mod.build_bvh(big)
+        ntb = int(np.asarray(bb.tri_valid).sum())
+        rng2 = np.random.default_rng(1)
+        db = rng2.normal(size=(nrays, 3)).astype(np.float32)
+        db[:, 2] += 1.5
+        db /= np.linalg.norm(db, axis=-1, keepdims=True)
+        db = jnp.asarray(db)
+        big_t = lambda o, d: closest_hit_pallas(bb.dense, o, d)["t"]  # noqa: E731
+        yield (f"pallas culled rays, coherent (64k rays, {ntb // 1000}k tris)",
+               big_t, (o, dc))
+        yield ("  ablation: sub-cluster culling OFF (big scene)",
+               with_flags(big_t, SUBCULL=False), (o, dc))
+        yield (f"pallas culled rays, incoherent + regroup ({ntb // 1000}k tris)",
+               lambda o, d: closest_hit_pallas(bb.dense, o, d,
+                                               regroup=True)["t"], (o, db))
     yield ("dense MXU rays, coherent (64k rays, 53k tris)",
            lambda o, d: bvh_mod.closest_hit_dense(b.dense, o, d)["t"],
            (o, dc))
