@@ -401,7 +401,8 @@ def _slab_blocks_for(nc: int) -> int:
 
 
 def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
-                              interpret=False, regroup=False, any_hit=False):
+                              interpret=False, regroup=False, any_hit=False,
+                              stats=False):
     """Two-level closest hit: cluster-AABB culling + ordered chunk visits.
 
     Scales past the brute-force kernel's rays x ALL-tris cost: each ray block
@@ -427,10 +428,10 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
                               (origin.shape[0],))
         res = closest_hit_pallas_culled(
             dense, origin[perm], direction[perm], t_max=tm[perm],
-            interpret=interpret, regroup=False, any_hit=any_hit)
+            interpret=interpret, regroup=False, any_hit=any_hit, stats=stats)
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
-        return {k: v[inv] for k, v in res.items()}
+        return {k: (v if k == "visits" else v[inv]) for k, v in res.items()}
 
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
@@ -490,7 +491,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
             ],
             out_specs=(per_ray, per_ray, per_ray, per_ray)[:n_out],
         )
-        return pl.pallas_call(
+        kouts = pl.pallas_call(
             functools.partial(_culled_kernel, entry_bits=entry_bits,
                               chunk_bits=chunk_bits, any_hit=any_hit,
                               subcull=subcull),
@@ -498,16 +499,18 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
             out_shape=out_shapes,
             interpret=interpret,
         )(packed, scale, o_s, d_s, tm_s, tbl)
+        return kouts + (total,)
 
     if nslabs == 1:
-        outs = one_slab((o, d, tmax))
+        *outs, visits = one_slab((o, d, tmax))
     else:
-        outs = jax.lax.map(
+        *outs, visits = jax.lax.map(
             one_slab,
             (o.reshape(nslabs, slab, 3), d.reshape(nslabs, slab, 3),
              tmax.reshape(nslabs, slab)),
         )
         outs = tuple(x.reshape(-1) for x in outs)
+        visits = visits.sum()
 
     t = outs[0][:r]
     tri = outs[1][:r]
@@ -516,7 +519,12 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
         uv = _uv_outside(dense, origin, direction, t, tri, hit, any_hit)
     else:
         uv = jnp.stack([outs[2][:r], outs[3][:r]], -1)
-    return {"t": t, "tri": tri, "uv": uv, "hit": hit}
+    res = {"t": t, "tri": tri, "uv": uv, "hit": hit}
+    if stats:
+        # Chunk-visit count (post cluster-cull, pre early-out): the kernel
+        # grid size — the direct "how much did culling prune" observable.
+        res["visits"] = visits
+    return res
 
 
 def closest_hit_pallas(dense, origin, direction, t_max=1e30,
