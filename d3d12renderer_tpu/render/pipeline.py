@@ -357,6 +357,52 @@ def _stage_post(color, *, settings):
     return ldr
 
 
+# ---------------------------------------------------------------------------
+# Grouped dispatch: three module-level programs instead of ~8 per-pass ones.
+# The per-pass floor at 1080p is ~0.5 ms of dispatch gaps in a ~1 ms frame;
+# the whole-frame module still breaks the TPU toolchain's fusion pass
+# (docs/ROADMAP.md), but three frame-third-sized modules sit between the two:
+# fewer boundaries, small enough to compile.  Numerically identical to the
+# other modes (parity-tested).
+# ---------------------------------------------------------------------------
+
+
+@_pass_fn()
+def _group_geometry(scene, camera, prev_camera, decals, key, shadow_maps,
+                    frame_state, *, settings, width, height):
+    gb = _stage_gbuffer(scene, camera, prev_camera, decals, key,
+                        settings=settings, width=width, height=height)
+    lit, ao, hist_updates = _stage_effects(
+        scene, camera, shadow_maps, gb, frame_state, key,
+        settings=settings, width=width, height=height)
+    return gb, lit, ao, hist_updates
+
+
+@_pass_fn()
+def _group_shading(scene, camera, gb, lit, ao, point_lights,
+                   point_shadow_maps, spot_lights, spot_shadow_maps,
+                   probe_grid, frame_state, transparent_objects,
+                   water_height, time, *, settings, width, height):
+    color, ambient = _stage_opaque(
+        scene, camera, gb, lit, ao, point_lights, point_shadow_maps,
+        spot_lights, spot_shadow_maps, probe_grid,
+        settings=settings, width=width, height=height)
+    color, rt_refl, hist2 = _stage_reflections(
+        scene, camera, color, gb, frame_state, settings=settings)
+    color = _stage_compose(
+        scene, camera, color, gb, transparent_objects, water_height, time,
+        settings=settings, width=width, height=height)
+    return color, ambient, rt_refl, hist2
+
+
+@_pass_fn(static=("settings",))
+def _group_resolve(color, gb, frame_state, hist_updates, *, settings):
+    color, new_state = _stage_taa(color, gb, frame_state, hist_updates,
+                                  settings=settings)
+    ldr = _stage_post(color, settings=settings)
+    return ldr, new_state, color
+
+
 def render_frame(
     scene: Scene,
     camera: Camera,
@@ -396,7 +442,31 @@ def render_frame(
       whole-frame module (the current TPU jellyfish compiler SIGILLs in
       TpuPriorityFusionQueue::NormalizedComputationCost on it) — several
       small modules compile where one frame-sized one dies, at ~1-2 ms
-      dispatch cost per stage."""
+      dispatch cost per stage.
+    - "grouped": three module-level programs (geometry+effects / shading /
+      resolve).  Call WITHOUT an outer jit.  Fewer dispatch boundaries than
+      per_pass, smaller modules than fused — numerically identical to
+      both."""
+    if dispatch == "grouped":
+        time = jnp.asarray(time, jnp.float32)
+        gb, lit, ao, hist_updates = _group_geometry._jit(
+            scene, camera, prev_camera, decals, key, shadow_maps,
+            frame_state, settings=settings, width=width, height=height)
+        color, ambient, rt_refl, hist2 = _group_shading._jit(
+            scene, camera, gb, lit, ao, point_lights, point_shadow_maps,
+            spot_lights, spot_shadow_maps, probe_grid, frame_state,
+            transparent_objects, water_height, time,
+            settings=settings, width=width, height=height)
+        hist_updates = dict(hist_updates)
+        hist_updates.update(hist2)
+        ldr, new_state, hdr = _group_resolve._jit(
+            color, gb, frame_state, hist_updates, settings=settings)
+        aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient,
+               "hdr": hdr}
+        if rt_refl is not None:
+            aux["rt_reflections"] = rt_refl
+        return ldr, new_state, aux
+
     per_pass = dispatch == "per_pass"
     # Stage seams need a fence only inside ONE traced program (the fused
     # path), where it pins the pass boundaries the way the reference's
@@ -465,7 +535,7 @@ def render_frame_with_shadows(scene: Scene, camera: Camera, width, height,
                               settings: RendererSettings = RendererSettings(),
                               shadow_resolution=512, **kw):
     """Convenience: fit + render cascades, then the frame."""
-    if kw.get("dispatch") == "per_pass":
+    if kw.get("dispatch") in ("per_pass", "grouped"):
         # Own dispatch for the cascade fit + renders, mirroring the
         # per-stage split inside render_frame (stable jit identity: frame 2+
         # reuses the compiled program).  fit_cascades MUST be jitted here:

@@ -22,10 +22,12 @@ parser.add_argument("--out", default="frame.png")
 parser.add_argument("--dump-exr", default=None, metavar="PATH",
                     help="also write the pre-tonemap HDR buffer as an EXR")
 parser.add_argument("--frames", type=int, default=4)
-parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"],
+parser.add_argument("--dispatch", default=None,
+                    choices=["fused", "per_pass", "grouped"],
                     help="default: per_pass on axon (the current TPU "
                          "toolchain's fusion pass crashes on the fused "
-                         "whole-frame module), fused elsewhere")
+                         "whole-frame module; 'grouped' = 3 programs, "
+                         "fewer dispatch boundaries), fused elsewhere")
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"],
                     help="ray backend; default pallas on axon (the Mosaic "
                          "kernel sidesteps the XLA traversal graph and is "
@@ -81,11 +83,11 @@ lights = make_point_lights([[2.5, 2.0, 2.5], [-3.0, 1.5, -1.0]],
                            [8.0, 8.0])
 
 state = initial_frame_state(W, H)
-if args.dispatch == "per_pass":
+if args.dispatch in ("per_pass", "grouped"):
     fn = lambda st, k: render_frame_with_shadows(
         scene, cam, W, H, RendererSettings(),
         shadow_resolution=512, point_lights=lights, frame_state=st, key=k,
-        dispatch="per_pass", profile_stages=args.profile_stages)
+        dispatch=args.dispatch, profile_stages=args.profile_stages)
 else:
     fn = jax.jit(lambda st, k: render_frame_with_shadows(
         scene, cam, W, H, RendererSettings(),

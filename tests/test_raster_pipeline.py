@@ -195,6 +195,15 @@ def test_per_pass_dispatch_matches_fused(scene, cam):
                                atol=2e-5)
     assert int(state_p.frame_index) == int(state_f.frame_index) == 1
 
+    # dispatch='grouped' (three module-level programs) must match too.
+    ldr_g, state_g, aux_g = render_frame_with_shadows(
+        scene, cam, W, H, RendererSettings(), shadow_resolution=128,
+        point_lights=lights, frame_state=state0, key=k, dispatch="grouped")
+    np.testing.assert_allclose(np.asarray(ldr_g), np.asarray(ldr_f),
+                               atol=2e-5)
+    assert int(state_g.frame_index) == 1
+    assert {"ao", "shadow", "gbuffer", "ambient", "hdr"} <= set(aux_g)
+
 
 @pytest.mark.slow
 def test_ibl_sh_and_brdf_lut():
