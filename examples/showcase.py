@@ -21,7 +21,7 @@ parser.add_argument("--size", type=int, default=256)
 parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="showcase.png")
 parser.add_argument("--physics-steps", type=int, default=180)
-parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass"])
+parser.add_argument("--dispatch", default=None, choices=["fused", "per_pass", "grouped"])
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"])
 parser.add_argument("--audio", default=None, metavar="OUT.WAV",
                     help="mix collision-impact sounds from the physics "
@@ -355,8 +355,8 @@ _frame = lambda st, key, dispatch: render_frame(
     shadow_maps=sun_maps, spot_shadow_maps=[smap], point_shadow_maps=[pmap],
     probe_grid=grid, transparent_objects=[glass], decals=decals,
     water_height=water_h, frame_state=st, key=key, dispatch=dispatch)
-if args.dispatch == "per_pass":
-    fn = lambda st, key: _frame(st, key, "per_pass")
+if args.dispatch in ("per_pass", "grouped"):
+    fn = lambda st, key: _frame(st, key, args.dispatch)
 else:
     fn = jax.jit(lambda st, key: _frame(st, key, "fused"))
 
