@@ -448,23 +448,39 @@ def render_frame(
       per_pass, smaller modules than fused — numerically identical to
       both."""
     if dispatch == "grouped":
+        times = {} if profile_stages else None
+
+        def timed(name, fn, *a, **kw):
+            if times is None:
+                return fn(*a, **kw)
+            t0 = _perf_counter()
+            out = fn(*a, **kw)
+            jax.block_until_ready(out)
+            times[name] = times.get(name, 0.0) + _perf_counter() - t0
+            return out
+
         time = jnp.asarray(time, jnp.float32)
-        gb, lit, ao, hist_updates = _group_geometry._jit(
+        gb, lit, ao, hist_updates = timed(
+            "geometry", _group_geometry._jit,
             scene, camera, prev_camera, decals, key, shadow_maps,
             frame_state, settings=settings, width=width, height=height)
-        color, ambient, rt_refl, hist2 = _group_shading._jit(
+        color, ambient, rt_refl, hist2 = timed(
+            "shading", _group_shading._jit,
             scene, camera, gb, lit, ao, point_lights, point_shadow_maps,
             spot_lights, spot_shadow_maps, probe_grid, frame_state,
             transparent_objects, water_height, time,
             settings=settings, width=width, height=height)
         hist_updates = dict(hist_updates)
         hist_updates.update(hist2)
-        ldr, new_state, hdr = _group_resolve._jit(
+        ldr, new_state, hdr = timed(
+            "resolve", _group_resolve._jit,
             color, gb, frame_state, hist_updates, settings=settings)
         aux = {"ao": ao, "shadow": lit, "gbuffer": gb, "ambient": ambient,
                "hdr": hdr}
         if rt_refl is not None:
             aux["rt_reflections"] = rt_refl
+        if times is not None:
+            aux["stage_seconds"] = times
         return ldr, new_state, aux
 
     per_pass = dispatch == "per_pass"
