@@ -227,3 +227,41 @@ def test_bvh_content_hash_cache(tmp_path, monkeypatch):
     b3 = bvh_mod.build_bvh(meshes2, cache=True)
     assert len(list(tmp_path.glob("*.npz"))) == 2
     assert not np.array_equal(np.asarray(b3.tri_v0), np.asarray(b1.tri_v0))
+
+
+def test_native_bvh_builder_edge_cases():
+    """Structural invariants of the native builder on degenerate inputs:
+    single triangle, all-identical centroids (total ties), collinear
+    centroids, leaf_size=1."""
+    from d3d12renderer_tpu.assets.native import (
+        bvh_build_arrays, native_available,
+    )
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+
+    def check(lo, hi, cent, leaf=4):
+        r = bvh_build_arrays(lo, hi, cent, leaf)
+        assert r is not None
+        nm, nx, nf, ncnt, miss, perm = r
+        t = len(perm)
+        assert sorted(perm.tolist()) == list(range(t))
+        leaves = sorted((f, c) for f, c in zip(nf, ncnt) if c > 0)
+        pos = 0
+        for f, c in leaves:  # leaves tile [0, t) contiguously in DFS order
+            assert f == pos
+            pos += c
+        assert pos == t
+        assert 0 <= miss.min() and miss.max() <= len(nm)
+
+    rng = np.random.default_rng(0)
+    check(np.zeros((1, 3)), np.ones((1, 3)), np.full((1, 3), 0.5))
+    T = 400
+    check(np.zeros((T, 3)), np.ones((T, 3)), np.zeros((T, 3)))
+    c = rng.uniform(-5, 5, (T, 3))
+    e = rng.uniform(0, 0.1, (T, 3))
+    check(c - e, c + e, c)
+    check(c - e, c + e, c, leaf=1)
+    c2 = np.zeros((T, 3))
+    c2[:, 0] = np.arange(T)
+    check(c2 - 0.1, c2 + 0.1, c2)
