@@ -311,3 +311,27 @@ def test_textured_albedo_sampling():
     # Textured material varies across the checker; untextured stays constant.
     assert abs(a[0, 0] - a[1, 0]) > 0.1
     np.testing.assert_allclose(a[2], [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_moving_camera_motion_vectors(scene, cam):
+    """G-buffer motion vectors for a MOVING camera (the flythrough path):
+    zero when prev == current; predominantly horizontal and consistently
+    signed for a pure horizontal dolly."""
+    from d3d12renderer_tpu.render.gbuffer import render_gbuffer
+
+    gb0 = render_gbuffer(scene, cam, W, H, prev_camera=cam)
+    hit = np.asarray(gb0.depth) < 1e9
+    assert hit.sum() > 50
+    m0 = np.asarray(gb0.motion)[hit]
+    np.testing.assert_allclose(m0, 0.0, atol=1e-3)
+
+    import d3d12renderer_tpu.core.maths as m
+
+    right = m.quat_rotate(cam.rotation[None], jnp.array([[1.0, 0.0, 0.0]]))[0]
+    moved = cam.replace(position=cam.position + 0.4 * right)
+    gb1 = render_gbuffer(scene, moved, W, H, prev_camera=cam)
+    hit1 = np.asarray(gb1.depth) < 1e9
+    m1 = np.asarray(gb1.motion)[hit1]
+    assert np.abs(m1[:, 0]).mean() > 3 * np.abs(m1[:, 1]).mean()
+    sx = np.sign(m1[:, 0][np.abs(m1[:, 0]) > 0.05])
+    assert sx.size > 20 and (np.abs(sx.sum()) > 0.9 * sx.size)
