@@ -163,18 +163,11 @@ def bench_rays():
 
     from d3d12renderer_tpu.ops.ray_trace_pallas import closest_hit_pallas
     from d3d12renderer_tpu.render import bvh as bvh_mod
-    from d3d12renderer_tpu.render.mesh import quad, uv_sphere
+    from d3d12renderer_tpu.render.mesh import sphere_grid_scene
     from d3d12renderer_tpu.render.pathtracer import _tile_perm
 
     try:
-        meshes = []
-        for ix in range(8):
-            for iz in range(8):
-                s = uv_sphere(0.45, 16, 26).transformed(
-                    translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
-                meshes.append((s, (ix + iz) % 4))
-        meshes.append((quad(8.0), 0))
-        b = bvh_mod.build_bvh(meshes)
+        b = bvh_mod.build_bvh(sphere_grid_scene(16, 26))
         tris = int(np.asarray(b.tri_valid).sum())
 
         w, h = 1920, 1088  # 32-divisible 1080p-class framebuffer
@@ -209,14 +202,7 @@ def bench_rays():
         try:
             # Big-scene leg: ~495k triangles (VERDICT r2 target: >=10
             # Mrays/s at 500k tris on one chip).  Same coherent wavefront.
-            big = []
-            for ix in range(8):
-                for iz in range(8):
-                    s = uv_sphere(0.45, 44, 88).transformed(
-                        translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
-                    big.append((s, (ix + iz) % 4))
-            big.append((quad(8.0), 0))
-            bb = bvh_mod.build_bvh(big)
+            bb = bvh_mod.build_bvh(sphere_grid_scene(44, 88))
             fb = jax.jit(lambda o, d: closest_hit_pallas(bb.dense, o, d))
             res = fb(o_j, d_j)
             jax.block_until_ready(res)

@@ -77,11 +77,12 @@ def _bvh_cache_dir() -> str:
 def _bvh_cache_key(meshes, use_dense: bool) -> str:
     import hashlib
 
-    from ..ops.ray_trace_pallas import TRI_CHUNK
+    from ..ops.ray_trace_pallas import SUB_CLUSTERS, TRI_CHUNK
 
     h = hashlib.blake2b(digest_size=20)
     h.update(f"v{BVH_CACHE_VERSION}|leaf{LEAF_SIZE}|dense{int(use_dense)}"
-             f"|chunk{TRI_CHUNK}|dmax{DENSE_MAX_TRIS}".encode())
+             f"|chunk{TRI_CHUNK}|sub{SUB_CLUSTERS}"
+             f"|dmax{DENSE_MAX_TRIS}".encode())
     for mesh, mat_id in meshes:
         for a in (mesh.positions, mesh.normals, mesh.uvs, mesh.indices):
             arr = np.ascontiguousarray(a)
@@ -110,8 +111,8 @@ def _bvh_cache_save(path: str, out: BVH, keep: int = 16):
     if out.dense is not None:
         d.update({"dense_" + k: np.asarray(getattr(out.dense, k))
                   for k in _DENSE_FIELDS})
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    tmp = f"{path}.tmp{os.getpid()}"  # pid suffix: concurrent builders of
+    with open(tmp, "wb") as f:        # the same scene must not interleave
         np.savez(f, **d)
     os.replace(tmp, path)
     # LRU prune by mtime.
@@ -146,12 +147,15 @@ def build_bvh(meshes: List[Tuple[MeshData, int]], use_dense: bool = True,
                  and total_tris >= BVH_CACHE_MIN_TRIS)
     cpath = None
     if cache:
-        cpath = os.path.join(_bvh_cache_dir(),
-                             _bvh_cache_key(meshes, use_dense) + ".npz")
-        if os.path.exists(cpath):
-            hit = _bvh_cache_load(cpath)
-            if hit is not None:
-                return hit
+        try:  # unwritable cache dir must degrade to an uncached build
+            cpath = os.path.join(_bvh_cache_dir(),
+                                 _bvh_cache_key(meshes, use_dense) + ".npz")
+            if os.path.exists(cpath):
+                hit = _bvh_cache_load(cpath)
+                if hit is not None:
+                    return hit
+        except Exception:
+            cpath = None
     v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mats = \
         [], [], [], [], [], [], [], [], [], []
     for mesh, mat in meshes:

@@ -308,3 +308,20 @@ def hollow_cylinder(radius=1.0, inner_radius=0.5, half_height=0.5,
         rings.append(MeshData(np.array(ps, np.float32), np.array(ns, np.float32),
                               np.array(uvs, np.float32), np.array(idx, np.int32)))
     return merge([outer, inner] + rings)
+
+
+def sphere_grid_scene(rings, slices, n=8, radius=0.45, spacing=1.2,
+                      ground_half=8.0):
+    """The shared ray-benchmark scene: an n x n grid of UV spheres over a
+    ground quad.  bench.py and tools/perf_report.py both build THIS, so
+    their Mrays/s numbers measure identical geometry (rings/slices set the
+    triangle count: (16, 26) ~ 53k tris, (44, 88) ~ 495k)."""
+    meshes = []
+    for ix in range(n):
+        for iz in range(n):
+            s = uv_sphere(radius, rings, slices).transformed(
+                translate=(ix * spacing - n * spacing / 2, 0.5,
+                           iz * spacing - n * spacing / 2))
+            meshes.append((s, (ix + iz) % 4))
+    meshes.append((quad(ground_half), 0))
+    return meshes

@@ -41,16 +41,9 @@ def rows():
     # --- rendering: primary-visibility ray block over a 53k-tri scene -----
     from d3d12renderer_tpu.ops.ray_trace_pallas import closest_hit_pallas
     from d3d12renderer_tpu.render import bvh as bvh_mod
-    from d3d12renderer_tpu.render.mesh import quad, uv_sphere
+    from d3d12renderer_tpu.render.mesh import sphere_grid_scene
 
-    meshes = []
-    for ix in range(8):
-        for iz in range(8):
-            s = uv_sphere(0.45, 16, 26).transformed(
-                translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
-            meshes.append((s, (ix + iz) % 4))
-    meshes.append((quad(8.0), 0))
-    b = bvh_mod.build_bvh(meshes)
+    b = bvh_mod.build_bvh(sphere_grid_scene(16, 26))
     nrays = 65536
     o = jnp.broadcast_to(jnp.array([0.0, 1.5, -9.0]), (nrays, 3))
     # Coherent camera rays, tile-ordered like the path tracer (the culled
@@ -110,28 +103,30 @@ def rows():
                                                any_hit=True)["hit"], (o, dc))
 
         # --- big scene: ~495k tris, 1080p-class coherent wavefront --------
-        big = []
-        for ix in range(8):
-            for iz in range(8):
-                s = uv_sphere(0.45, 44, 88).transformed(
-                    translate=(ix * 1.2 - 4.8, 0.5, iz * 1.2 - 4.8))
-                big.append((s, (ix + iz) % 4))
-        big.append((quad(8.0), 0))
-        bb = bvh_mod.build_bvh(big)
-        ntb = int(np.asarray(bb.tri_valid).sum())
-        rng2 = np.random.default_rng(1)
-        db = rng2.normal(size=(nrays, 3)).astype(np.float32)
-        db[:, 2] += 1.5
-        db /= np.linalg.norm(db, axis=-1, keepdims=True)
-        db = jnp.asarray(db)
-        big_t = lambda o, d: closest_hit_pallas(bb.dense, o, d)["t"]  # noqa: E731
-        yield (f"pallas culled rays, coherent (64k rays, {ntb // 1000}k tris)",
-               big_t, (o, dc))
-        yield ("  ablation: sub-cluster culling OFF (big scene)",
-               with_flags(big_t, SUBCULL=False), (o, dc))
-        yield (f"pallas culled rays, incoherent + regroup ({ntb // 1000}k tris)",
-               lambda o, d: closest_hit_pallas(bb.dense, o, d,
-                                               regroup=True)["t"], (o, db))
+        # Guarded: a failure here (OOM, cache-dir error) must not kill the
+        # remaining report rows below.
+        try:
+            bb = bvh_mod.build_bvh(sphere_grid_scene(44, 88))
+            ntb = int(np.asarray(bb.tri_valid).sum())
+            rng2 = np.random.default_rng(1)
+            db = rng2.normal(size=(nrays, 3)).astype(np.float32)
+            db[:, 2] += 1.5
+            db /= np.linalg.norm(db, axis=-1, keepdims=True)
+            db = jnp.asarray(db)
+            big_t = lambda o, d: closest_hit_pallas(bb.dense, o, d)["t"]  # noqa: E731
+            big_rows = [
+                (f"pallas culled rays, coherent (64k rays, {ntb // 1000}k tris)",
+                 big_t, (o, dc)),
+                ("  ablation: sub-cluster culling OFF (big scene)",
+                 with_flags(big_t, SUBCULL=False), (o, dc)),
+                (f"pallas culled rays, incoherent + regroup ({ntb // 1000}k tris)",
+                 lambda o, d: closest_hit_pallas(bb.dense, o, d,
+                                                 regroup=True)["t"], (o, db)),
+            ]
+        except Exception as e:
+            print(f"big-scene rows skipped: {e}", flush=True)
+            big_rows = []
+        yield from big_rows
     yield ("dense MXU rays, coherent (64k rays, 53k tris)",
            lambda o, d: bvh_mod.closest_hit_dense(b.dense, o, d)["t"],
            (o, dc))
