@@ -4,6 +4,12 @@ Usage: python examples/loco_rollout.py [--batch 16] [--steps 120] [--platform cp
 """
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/x.py` / `python tools/x.py` without installing
+# the package (the repo root is the import root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 parser = argparse.ArgumentParser()

@@ -6,6 +6,12 @@ Usage: python examples/raster_frame.py [--size 512] [--platform cpu|axon]
 """
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/x.py` / `python tools/x.py` without installing
+# the package (the repo root is the import root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 import time
 

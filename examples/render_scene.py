@@ -5,6 +5,12 @@ Usage: python examples/render_scene.py [--size 512] [--spp 16] [--platform cpu|a
 """
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/x.py` / `python tools/x.py` without installing
+# the package (the repo root is the import root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 import time
 

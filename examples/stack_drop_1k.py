@@ -11,6 +11,12 @@ Usage: python examples/stack_drop_1k.py [--bodies 1000] [--steps 300]
 """
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/x.py` / `python tools/x.py` without installing
+# the package (the repo root is the import root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 

@@ -9,6 +9,12 @@ Usage: python tools/perf_report.py [--platform cpu|axon] [--out docs/PERF.md]
 """
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/x.py` / `python tools/x.py` without installing
+# the package (the repo root is the import root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--platform", default="cpu")

@@ -6,6 +6,8 @@ set -u
 OUT=${1:-/tmp/measure}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# tools/ and examples/ scripts import the package from the repo root.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1; shift
