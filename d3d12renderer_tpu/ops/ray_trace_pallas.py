@@ -48,7 +48,7 @@ EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
 # kernel no longer carries per-ray u/v at all).
 PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 
-# In-kernel sub-cluster culling (D3D12TPU_RAY_SUBCULL=0 disables): each
+# In-kernel sub-cluster culling (D3D12TPU_RAY_SUBCULL=1 enables): each
 # 1024-tri chunk carries SUB_CLUSTERS 128-tri sub-cluster AABBs (packed into
 # the spare plane-table rows 13/14 at 128-aligned lane offsets).  A visit
 # slab-tests the block's rays against each sub-AABB — (RB, 3) work — and
@@ -56,7 +56,14 @@ PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 # closer than its current best hit.  This is the lateral complement of the
 # front-to-back early-out: a coherent ray block's narrow frustum usually
 # overlaps a chunk's AABB but only 1-2 of its 8 sub-clusters.
-SUBCULL = _os.environ.get("D3D12TPU_RAY_SUBCULL", "1") != "0"
+#
+# Default OFF: measured on v5e (64k rays), the extra per-visit tests LOSE
+# despite the host-side analysis predicting 46-58% skippable sub-tiles —
+# 4.48 vs 3.26 ms @53k tris and 17.5 vs 10.6 ms @495k tris (a whole
+# (RB,128) sub-tile only skips when EVERY ray in the block agrees, which
+# the lax.cond-free masked form can't exploit per-lane).  Kept as an
+# opt-in for scenes with much sparser chunks.
+SUBCULL = _os.environ.get("D3D12TPU_RAY_SUBCULL", "0") == "1"
 SUB_CLUSTERS = 8
 
 

@@ -95,8 +95,8 @@ def rows():
                hit_t, (o, dc))
         yield ("  ablation: packed-key select OFF",
                with_flags(hit_t, PACKSEL=False), (o, dc))
-        yield ("  ablation: sub-cluster culling OFF",
-               with_flags(hit_t, SUBCULL=False), (o, dc))
+        yield ("  ablation: sub-cluster culling ON",
+               with_flags(hit_t, SUBCULL=True), (o, dc))
         yield ("  ablation: occlusion early-out OFF",
                with_flags(hit_t, EARLYOUT=False), (o, dc))
         yield ("pallas culled rays, incoherent (64k rays, 53k tris)",
@@ -123,8 +123,8 @@ def rows():
             big_rows = [
                 (f"pallas culled rays, coherent (64k rays, {ntb // 1000}k tris)",
                  big_t, (o, dc)),
-                ("  ablation: sub-cluster culling OFF (big scene)",
-                 with_flags(big_t, SUBCULL=False), (o, dc)),
+                ("  ablation: sub-cluster culling ON (big scene)",
+                 with_flags(big_t, SUBCULL=True), (o, dc)),
                 (f"pallas culled rays, incoherent + regroup ({ntb // 1000}k tris)",
                  lambda o, d: closest_hit_pallas(bb.dense, o, d,
                                                  regroup=True)["t"], (o, db)),
