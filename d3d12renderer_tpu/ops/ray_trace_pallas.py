@@ -24,16 +24,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 RAY_BLOCK = 1024
-TRI_CHUNK = 1024  # swept on v5e: 512 -> 6.4, 1024 -> 6.7 Mrays/s @53k tris
-                  # (>=2048 exceeds VMEM); with 32x32-pixel tile-ordered rays
-                  # the culled path reaches 11.2 Mrays/s @53k tris.
+# Triangle-chunk width (env-tunable): brute-force sweep on v5e said 512 ->
+# 6.4, 1024 -> 6.7 Mrays/s @53k tris (>=2048 exceeds VMEM); on the CULLED
+# path smaller chunks mean tighter per-chunk AABBs (fewer visits) but more
+# grid steps — D3D12TPU_RAY_CHUNK lets big scenes pick the tradeoff.
+# Note: the BVH disk cache keys on this (render/bvh.py _bvh_cache_key) and
+# in-kernel sub-cluster culling requires 1024 (128-lane-aligned sub rows).
+TRI_CHUNK = int(_os.environ.get("D3D12TPU_RAY_CHUNK", "1024"))
+assert TRI_CHUNK & (TRI_CHUNK - 1) == 0 and TRI_CHUNK >= 128, TRI_CHUNK
 
 # Escape hatch: D3D12TPU_RAY_EARLYOUT=0 disables the front-to-back visit
 # ordering + in-kernel occlusion skip (falls back to chunk-ascending visits),
 # in case a toolchain update rejects the SMEM scale input or the in-kernel
 # reduce.  Applied at trace time.
-import os as _os
 
 EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
 
@@ -75,28 +81,32 @@ def _best_in_chunk(o, d, tri, t_best):
     none), win (RB,) winning chunk-local column, uk/vk (RB,) the winner's
     barycentrics on the one-hot path or None on the PACKSEL path (caller
     recomputes u/v outside the kernel from the winner's plane row)."""
-    n = tri[0:3]          # rows: n(3), n_off, e1p(3), e1_off,
-    n_off = tri[3]        #       e2p(3), e2_off, valid, pad(3)
-    e1p = tri[4:7]
-    e1_off = tri[7]
-    e2p = tri[8:11]
-    e2_off = tri[11]
-    # No explicit `valid` test: padding rows are all-zero planes, so nd = 0
-    # forces t = 0 there, which the t > 1e-4 window already rejects.
+    # Table rows: n(3), n_off, e1p(3), e1_off, e2p(3), e2_off, valid, pad(3).
+    # The three plane OFFSETS ride the matmuls as a homogeneous origin
+    # column (K=3 -> 4, free on the MXU's padded contraction) instead of
+    # separate (RB, C) VPU adds:
+    #   dot([-o, 1], [n; n_off])   = n_off - o.n   (the t numerator)
+    #   dot([ o, 1], [e1p; e1_off]) = o.e1p + e1_off  (ditto v)
+    one = jnp.ones_like(o[:, :1])
+    no1 = jnp.concatenate([-o, one], -1)                       # (RB, 4)
+    o1 = jnp.concatenate([o, one], -1)
+    f32 = jnp.float32
+    num = jnp.dot(no1, tri[0:4], preferred_element_type=f32)   # (RB, C)
+    nd = jnp.dot(d, tri[0:3], preferred_element_type=f32)
+    # No guard on nd == 0 — IEEE does the rejection for free: padding rows
+    # (all-zero planes) give 0/0 = NaN, parallel rays give +-inf; NaN fails
+    # every compare below and inf fails t <= t_best.
+    t = num / nd
+    u = (jnp.dot(o1, tri[4:8], preferred_element_type=f32)
+         + t * jnp.dot(d, tri[4:7], preferred_element_type=f32))
+    v = (jnp.dot(o1, tri[8:12], preferred_element_type=f32)
+         + t * jnp.dot(d, tri[8:11], preferred_element_type=f32))
 
-    no = jnp.dot(o, n, preferred_element_type=jnp.float32)       # (RB, C)
-    nd = jnp.dot(d, n, preferred_element_type=jnp.float32)
-    t = (n_off[None, :] - no) / jnp.where(jnp.abs(nd) < 1e-12, jnp.inf, nd)
-    uo = jnp.dot(o, e1p, preferred_element_type=jnp.float32)
-    ud = jnp.dot(d, e1p, preferred_element_type=jnp.float32)
-    vo = jnp.dot(o, e2p, preferred_element_type=jnp.float32)
-    vd = jnp.dot(d, e2p, preferred_element_type=jnp.float32)
-    u = uo + t * ud + e1_off[None, :]
-    v = vo + t * vd + e2_off[None, :]
-
-    # min-form inside test: one compare instead of three.
-    inside = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v)) >= 0
-    ok = (t > 1e-4) & (t < t_best[:, None]) & inside
+    # One accept min-tree: inside (u, v, 1-u-v >= 0) AND the t window
+    # collapse to a single >= 0 compare (NaN propagates to rejection).
+    inside = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+    window = jnp.minimum(t - 1e-4, t_best[:, None] - t)
+    ok = jnp.minimum(inside, window) >= 0
     t_m = jnp.where(ok, t, jnp.inf)
     c = t_m.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
@@ -161,7 +171,8 @@ def pack_tris(dense) -> jnp.ndarray:
         jnp.zeros((t, 3), jnp.float32),
     ], axis=-1)
     tbl = jnp.pad(tbl, ((0, pad), (0, 0))).T
-    if getattr(dense, "sub_lo", None) is not None:
+    if (getattr(dense, "sub_lo", None) is not None
+            and (TRI_CHUNK // SUB_CLUSTERS) % 128 == 0):
         nc = tbl.shape[1] // TRI_CHUNK
         sw = TRI_CHUNK // SUB_CLUSTERS
         sl = jnp.asarray(dense.sub_lo, jnp.float32)
@@ -443,7 +454,8 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
-    subcull = SUBCULL and getattr(dense, "sub_lo", None) is not None
+    subcull = (SUBCULL and getattr(dense, "sub_lo", None) is not None
+               and (TRI_CHUNK // SUB_CLUSTERS) % 128 == 0)
     # Even at one ray block per slab, the prefetched (1 x nc) chunk-id table
     # must fit the ~16 KB SMEM budget.
     assert nc <= 4096, (
