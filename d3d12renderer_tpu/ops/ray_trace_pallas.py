@@ -26,7 +26,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-RAY_BLOCK = 1024
+# Ray-block height (env-tunable): per-visit VPU work scales with the block
+# height, and a SMALLER block has a TIGHTER frustum (fewer chunk visits pass
+# cluster culling) and an earlier occlusion exit (max over fewer rays) — so
+# on big scenes and incoherent wavefronts shrinking the block trades a
+# sub-linear rise in visit count against a linear drop in per-visit cost.
+# Must be a multiple of 8 (f32 sublane tile).
+RAY_BLOCK = int(_os.environ.get("D3D12TPU_RAY_BLOCK", "1024"))
+assert RAY_BLOCK % 8 == 0 and RAY_BLOCK > 0, RAY_BLOCK
 # Triangle-chunk width (env-tunable): brute-force sweep on v5e said 512 ->
 # 6.4, 1024 -> 6.7 Mrays/s @53k tris (>=2048 exceeds VMEM); on the CULLED
 # path smaller chunks mean tighter per-chunk AABBs (fewer visits) but more
@@ -140,16 +147,18 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref, t_ref, tri_id_ref,
             u_ref[:] = jnp.zeros_like(u_ref)
             v_ref[:] = jnp.zeros_like(v_ref)
 
-    t_best = t_ref[:]
+    rshape = t_ref.shape  # (1, RAY_BLOCK) rows — see per_ray BlockSpec note
+    t_best = t_ref[:].reshape(-1)
     t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tri_ref[:],
                                         t_best)
     better = t_min < t_best
     base = tc * tri_ref.shape[1]
-    t_ref[:] = jnp.where(better, t_min, t_best)
-    tri_id_ref[:] = jnp.where(better, base + win, tri_id_ref[:])
+    t_ref[:] = jnp.where(better, t_min, t_best).reshape(rshape)
+    tri_id_ref[:] = jnp.where(better, base + win,
+                              tri_id_ref[:].reshape(-1)).reshape(rshape)
     if not PACKSEL:
-        u_ref[:] = jnp.where(better, uk, u_ref[:])
-        v_ref[:] = jnp.where(better, vk, v_ref[:])
+        u_ref[:] = jnp.where(better, uk, u_ref[:].reshape(-1)).reshape(rshape)
+        v_ref[:] = jnp.where(better, vk, v_ref[:].reshape(-1)).reshape(rshape)
 
 
 def pack_tris(dense) -> jnp.ndarray:
@@ -339,9 +348,13 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             v_ref[:] = jnp.zeros_like(v_ref)
 
     chunk = word & ((1 << chunk_bits) - 1)
+    # Per-ray refs are (1, RAY_BLOCK) rows (2D so XLA's 1024-lane 1D tiling
+    # doesn't force the block height — see the per_ray BlockSpec); flatten
+    # for the math and restore the row shape on store.
+    rshape = t_ref.shape
 
     def _do_tile(col0, width):
-        t_best = t_ref[:]
+        t_best = t_ref[:].reshape(-1)
         tile = (tri_ref[:] if width == tri_ref.shape[1]
                 else tri_ref[:, col0:col0 + width])
         t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tile, t_best)
@@ -353,13 +366,16 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             # its t so (a) no further triangle can pass t < t_best and (b) the
             # block's entry-distance early-out fires as soon as EVERY ray is
             # occluded — remaining visits skip entirely.
-            t_new = jnp.where((tri_id_ref[:] >= 0) | better,
+            t_new = jnp.where((tri_id_ref[:].reshape(-1) >= 0) | better,
                               jnp.float32(1.01e-4), t_new)
-        t_ref[:] = t_new
-        tri_id_ref[:] = jnp.where(better, base + win, tri_id_ref[:])
+        t_ref[:] = t_new.reshape(rshape)
+        tri_id_ref[:] = jnp.where(better, base + win,
+                                  tri_id_ref[:].reshape(-1)).reshape(rshape)
         if not PACKSEL:
-            u_ref[:] = jnp.where(better, uk, u_ref[:])
-            v_ref[:] = jnp.where(better, vk, v_ref[:])
+            u_ref[:] = jnp.where(better, uk,
+                                 u_ref[:].reshape(-1)).reshape(rshape)
+            v_ref[:] = jnp.where(better, vk,
+                                 v_ref[:].reshape(-1)).reshape(rshape)
 
     def _visit():
         if not subcull:
@@ -382,7 +398,7 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             t1 = (hi_j[None, :] - o) * inv_d
             tmin = jnp.maximum(jnp.minimum(t0, t1).max(-1), 1e-4)
             tmax = jnp.maximum(t0, t1).min(-1)
-            reach = (tmax >= tmin) & (tmin < t_ref[:])
+            reach = (tmax >= tmin) & (tmin < t_ref[:].reshape(-1))
             pl.when(jnp.any(reach))(
                 functools.partial(_do_tile, j * sw, sw))
 
@@ -478,14 +494,18 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3),
                             lambda v, pk: (pk[v] >> bshift, 0),
                             memory_space=pltpu.VMEM)
-    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda v, pk: (pk[v] >> bshift,),
+    # Per-ray values travel as (sb, RAY_BLOCK) 2D arrays — one row per ray
+    # block — because XLA tiles 1D f32 arrays in 1024-lane units, which pins
+    # a 1D block shape to multiples of 1024; the 2D form keeps RAY_BLOCK
+    # freely tunable (D3D12TPU_RAY_BLOCK) at the standard (8, 128) tiling.
+    per_ray = pl.BlockSpec((1, RAY_BLOCK), lambda v, pk: (pk[v] >> bshift, 0),
                            memory_space=pltpu.VMEM)
     n_out = 2 if PACKSEL else 4
     out_shapes = (
-        jax.ShapeDtypeStruct((slab,), jnp.float32),
-        jax.ShapeDtypeStruct((slab,), jnp.int32),
-        jax.ShapeDtypeStruct((slab,), jnp.float32),
-        jax.ShapeDtypeStruct((slab,), jnp.float32),
+        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.int32),
+        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
     )[:n_out]
 
     def one_slab(args):
@@ -517,11 +537,12 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
-        )(packed, scale, o_s, d_s, tm_s, tbl)
+        )(packed, scale, o_s, d_s, tm_s.reshape(sb, RAY_BLOCK), tbl)
         return kouts + (total,)
 
     if nslabs == 1:
         *outs, visits = one_slab((o, d, tmax))
+        outs = tuple(x.reshape(-1) for x in outs)
     else:
         *outs, visits = jax.lax.map(
             one_slab,
@@ -575,15 +596,16 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
     grid = (rp // RAY_BLOCK, t_count // TRI_CHUNK)
 
     n_out = 2 if PACKSEL else 4
+    nrb = rp // RAY_BLOCK
     out_shapes = (
-        jax.ShapeDtypeStruct((rp,), jnp.float32),
-        jax.ShapeDtypeStruct((rp,), jnp.int32),
-        jax.ShapeDtypeStruct((rp,), jnp.float32),
-        jax.ShapeDtypeStruct((rp,), jnp.float32),
+        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.int32),
+        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
     )[:n_out]
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda rb, tc: (rb, 0),
                             memory_space=pltpu.VMEM)
-    per_ray = pl.BlockSpec((RAY_BLOCK,), lambda rb, tc: (rb,),
+    per_ray = pl.BlockSpec((1, RAY_BLOCK), lambda rb, tc: (rb, 0),
                            memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -597,7 +619,8 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
         out_specs=(per_ray, per_ray, per_ray, per_ray)[:n_out],
         out_shape=out_shapes,
         interpret=interpret,
-    )(o, d, tmax, tbl)
+    )(o, d, tmax.reshape(nrb, RAY_BLOCK), tbl)
+    outs = tuple(x.reshape(-1) for x in outs)
 
     t = outs[0][:r]
     tri = outs[1][:r]
