@@ -33,7 +33,26 @@ import os as _os
 # sub-linear rise in visit count against a linear drop in per-visit cost.
 # Must be a multiple of 8 (f32 sublane tile).
 RAY_BLOCK = int(_os.environ.get("D3D12TPU_RAY_BLOCK", "1024"))
-assert RAY_BLOCK % 8 == 0 and RAY_BLOCK > 0, RAY_BLOCK
+if RAY_BLOCK % 8 != 0 or RAY_BLOCK <= 0:
+    # Per-ray values travel as (rays, PRL=128) lane-replicated arrays with
+    # (RAY_BLOCK, PRL) VMEM blocks — see the per_ray BlockSpec note.
+    raise ValueError(f"D3D12TPU_RAY_BLOCK must be a positive multiple of 8, "
+                     f"got {RAY_BLOCK}")
+# Per-ray lane width.  Per-ray running state (t_best, winning tri) is
+# logically one value per ray, but three constraints pick this layout:
+#   * Mosaic (jax 0.9.0, lowering.py:681-697) rejects a (1, RAY_BLOCK) row
+#     block over a multi-row (sb, RAY_BLOCK) array (sublane dim 1 != sb);
+#   * an in-kernel (8, W)->(RB,) reshape is a lane<->sublane relayout
+#     Mosaic cannot lower ("infer-vector-layout: unsupported shape cast");
+#   * an (N, 1) column array tiles to T(8,128) — 128x lane padding — and
+#     XLA's VMEM promotion counts LOGICAL bytes, so it stacks the padded
+#     32 MB/64k-ray output in scoped VMEM and OOMs at compile time.
+# A full (RAY_BLOCK, 128) lane-replicated tile sidesteps all three: the
+# block is natively tiled, the kernel computes on the (RB, 1) lane-0 slice
+# (which broadcasts against the (RB, C) intersection tiles for free), and
+# logical size == padded size keeps XLA's promotion accounting honest.
+# The 128x HBM footprint is noise next to the (RB, C) compute.
+PRL = 128
 # Triangle-chunk width (env-tunable): brute-force sweep on v5e said 512 ->
 # 6.4, 1024 -> 6.7 Mrays/s @53k tris (>=2048 exceeds VMEM); on the CULLED
 # path smaller chunks mean tighter per-chunk AABBs (fewer visits) but more
@@ -79,15 +98,24 @@ PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 SUBCULL = _os.environ.get("D3D12TPU_RAY_SUBCULL", "0") == "1"
 SUB_CLUSTERS = 8
 
+# Scoped-VMEM budget for the ray kernels.  The (RAY_BLOCK, TRI_CHUNK)
+# intersection intermediates (~4 MB each at the 1024x1024 default) plus the
+# lane-replicated per-ray windows total ~18 MB at peak liveness — just over
+# Mosaic's default 16 MB scoped-vmem limit.  v5e has 128 MB of VMEM; raise
+# the per-kernel limit rather than shrinking the tiles (smaller tiles
+# measured slower: TRI_CHUNK sweep at the top of this file).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _best_in_chunk(o, d, tri, t_best):
     """Closest accepted hit of a ray block against one triangle chunk.
 
-    o/d (RB, 3); tri (16, C) plane table rows; t_best (RB,) current best.
-    Returns (t_min, win, uk, vk): t_min (RB,) exact min accepted t (inf where
-    none), win (RB,) winning chunk-local column, uk/vk (RB,) the winner's
-    barycentrics on the one-hot path or None on the PACKSEL path (caller
-    recomputes u/v outside the kernel from the winner's plane row)."""
+    o/d (RB, 3); tri (16, C) plane table rows; t_best (RB, 1) current best
+    (per-ray values are columns — see the RAY_BLOCK layout note).  Returns
+    (t_min, win, uk, vk), all (RB, 1): t_min exact min accepted t (inf where
+    none), win winning chunk-local column, uk/vk the winner's barycentrics
+    on the one-hot path or None on the PACKSEL path (caller recomputes u/v
+    outside the kernel from the winner's plane row)."""
     # Table rows: n(3), n_off, e1p(3), e1_off, e2p(3), e2_off, valid, pad(3).
     # The three plane OFFSETS ride the matmuls as a homogeneous origin
     # column (K=3 -> 4, free on the MXU's padded contraction) instead of
@@ -112,12 +140,12 @@ def _best_in_chunk(o, d, tri, t_best):
     # One accept min-tree: inside (u, v, 1-u-v >= 0) AND the t window
     # collapse to a single >= 0 compare (NaN propagates to rejection).
     inside = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
-    window = jnp.minimum(t - 1e-4, t_best[:, None] - t)
+    window = jnp.minimum(t - 1e-4, t_best - t)
     ok = jnp.minimum(inside, window) >= 0
     t_m = jnp.where(ok, t, jnp.inf)
     c = t_m.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-    t_min = jnp.min(t_m, axis=-1)                                 # (RB,)
+    t_min = jnp.min(t_m, axis=-1, keepdims=True)                  # (RB, 1)
     if PACKSEL:
         # One int32 reduce replaces the iota/==/where/min one-hot chain:
         # t_m >= 0, so its f32 bits are order-preserving as int32; the
@@ -125,13 +153,13 @@ def _best_in_chunk(o, d, tri, t_best):
         assert c & (c - 1) == 0, c
         key = ((jax.lax.bitcast_convert_type(t_m, jnp.int32)
                 & jnp.int32(~(c - 1))) | cols)
-        win = jnp.min(key, axis=-1) & (c - 1)                     # (RB,)
+        win = jnp.min(key, axis=-1, keepdims=True) & (c - 1)      # (RB, 1)
         return t_min, win, None, None
-    is_min = t_m == t_min[:, None]
-    first = jnp.min(jnp.where(is_min, cols, c), axis=-1)          # (RB,)
-    sel = cols == first[:, None]
-    uk = jnp.sum(jnp.where(sel, u, 0.0), -1)
-    vk = jnp.sum(jnp.where(sel, v, 0.0), -1)
+    is_min = t_m == t_min
+    first = jnp.min(jnp.where(is_min, cols, c), -1, keepdims=True)
+    sel = cols == first
+    uk = jnp.sum(jnp.where(sel, u, 0.0), -1, keepdims=True)
+    vk = jnp.sum(jnp.where(sel, v, 0.0), -1, keepdims=True)
     return t_min, first, uk, vk
 
 
@@ -141,24 +169,28 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref, t_ref, tri_id_ref,
 
     @pl.when(tc == 0)
     def _init():
-        t_ref[:] = tmax_ref[:]
+        t_ref[:] = jnp.broadcast_to(tmax_ref[:], t_ref.shape)
         tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
         if not PACKSEL:
             u_ref[:] = jnp.zeros_like(u_ref)
             v_ref[:] = jnp.zeros_like(v_ref)
 
-    rshape = t_ref.shape  # (1, RAY_BLOCK) rows — see per_ray BlockSpec note
-    t_best = t_ref[:].reshape(-1)
+    # Per-ray refs are (RAY_BLOCK, PRL) lane-replicated tiles; compute on
+    # the lane-0 column, store broadcast (see the PRL layout note).
+    t_best = t_ref[:, 0:1]
     t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tri_ref[:],
                                         t_best)
     better = t_min < t_best
     base = tc * tri_ref.shape[1]
-    t_ref[:] = jnp.where(better, t_min, t_best).reshape(rshape)
-    tri_id_ref[:] = jnp.where(better, base + win,
-                              tri_id_ref[:].reshape(-1)).reshape(rshape)
+    rep = t_ref.shape
+    t_ref[:] = jnp.broadcast_to(jnp.where(better, t_min, t_best), rep)
+    tri_id_ref[:] = jnp.broadcast_to(
+        jnp.where(better, base + win, tri_id_ref[:, 0:1]), rep)
     if not PACKSEL:
-        u_ref[:] = jnp.where(better, uk, u_ref[:].reshape(-1)).reshape(rshape)
-        v_ref[:] = jnp.where(better, vk, v_ref[:].reshape(-1)).reshape(rshape)
+        u_ref[:] = jnp.broadcast_to(
+            jnp.where(better, uk, u_ref[:, 0:1]), rep)
+        v_ref[:] = jnp.broadcast_to(
+            jnp.where(better, vk, v_ref[:, 0:1]), rep)
 
 
 def pack_tris(dense) -> jnp.ndarray:
@@ -341,20 +373,18 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
 
     @pl.when((v_id == 0) | (blk != prev))
     def _init():
-        t_ref[:] = tmax_ref[:]
+        t_ref[:] = jnp.broadcast_to(tmax_ref[:], t_ref.shape)
         tri_id_ref[:] = jnp.full_like(tri_id_ref, -1)
         if not PACKSEL:
             u_ref[:] = jnp.zeros_like(u_ref)
             v_ref[:] = jnp.zeros_like(v_ref)
 
     chunk = word & ((1 << chunk_bits) - 1)
-    # Per-ray refs are (1, RAY_BLOCK) rows (2D so XLA's 1024-lane 1D tiling
-    # doesn't force the block height — see the per_ray BlockSpec); flatten
-    # for the math and restore the row shape on store.
-    rshape = t_ref.shape
 
+    # Per-ray refs are (RAY_BLOCK, PRL) lane-replicated tiles; compute on
+    # the lane-0 column, store broadcast (see the PRL layout note).
     def _do_tile(col0, width):
-        t_best = t_ref[:].reshape(-1)
+        t_best = t_ref[:, 0:1]
         tile = (tri_ref[:] if width == tri_ref.shape[1]
                 else tri_ref[:, col0:col0 + width])
         t_min, win, uk, vk = _best_in_chunk(o_ref[:], d_ref[:], tile, t_best)
@@ -366,16 +396,17 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             # its t so (a) no further triangle can pass t < t_best and (b) the
             # block's entry-distance early-out fires as soon as EVERY ray is
             # occluded — remaining visits skip entirely.
-            t_new = jnp.where((tri_id_ref[:].reshape(-1) >= 0) | better,
+            t_new = jnp.where((tri_id_ref[:, 0:1] >= 0) | better,
                               jnp.float32(1.01e-4), t_new)
-        t_ref[:] = t_new.reshape(rshape)
-        tri_id_ref[:] = jnp.where(better, base + win,
-                                  tri_id_ref[:].reshape(-1)).reshape(rshape)
+        rep = t_ref.shape
+        t_ref[:] = jnp.broadcast_to(t_new, rep)
+        tri_id_ref[:] = jnp.broadcast_to(
+            jnp.where(better, base + win, tri_id_ref[:, 0:1]), rep)
         if not PACKSEL:
-            u_ref[:] = jnp.where(better, uk,
-                                 u_ref[:].reshape(-1)).reshape(rshape)
-            v_ref[:] = jnp.where(better, vk,
-                                 v_ref[:].reshape(-1)).reshape(rshape)
+            u_ref[:] = jnp.broadcast_to(
+                jnp.where(better, uk, u_ref[:, 0:1]), rep)
+            v_ref[:] = jnp.broadcast_to(
+                jnp.where(better, vk, v_ref[:, 0:1]), rep)
 
     def _visit():
         if not subcull:
@@ -396,16 +427,17 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
             hi_j = tri_ref[14, j * sw:j * sw + 3]
             t0 = (lo_j[None, :] - o) * inv_d
             t1 = (hi_j[None, :] - o) * inv_d
-            tmin = jnp.maximum(jnp.minimum(t0, t1).max(-1), 1e-4)
-            tmax = jnp.maximum(t0, t1).min(-1)
-            reach = (tmax >= tmin) & (tmin < t_ref[:].reshape(-1))
+            tmin = jnp.maximum(
+                jnp.minimum(t0, t1).max(-1, keepdims=True), 1e-4)
+            tmax = jnp.maximum(t0, t1).min(-1, keepdims=True)
+            reach = (tmax >= tmin) & (tmin < t_ref[:, 0:1])  # (RB, 1)
             pl.when(jnp.any(reach))(
                 functools.partial(_do_tile, j * sw, sw))
 
     if EARLYOUT:
         entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
                     ).astype(jnp.float32) * scale_ref[0]
-        pl.when(jnp.max(t_ref[:]) >= entry_lo)(_visit)
+        pl.when(jnp.max(t_ref[:, 0:1]) >= entry_lo)(_visit)
     else:
         _visit()
 
@@ -494,18 +526,24 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3),
                             lambda v, pk: (pk[v] >> bshift, 0),
                             memory_space=pltpu.VMEM)
-    # Per-ray values travel as (sb, RAY_BLOCK) 2D arrays — one row per ray
-    # block — because XLA tiles 1D f32 arrays in 1024-lane units, which pins
-    # a 1D block shape to multiples of 1024; the 2D form keeps RAY_BLOCK
-    # freely tunable (D3D12TPU_RAY_BLOCK) at the standard (8, 128) tiling.
-    per_ray = pl.BlockSpec((1, RAY_BLOCK), lambda v, pk: (pk[v] >> bshift, 0),
+    # Per-ray OUTPUTS travel as (sb*RAY_BLOCK, PRL) lane-replicated arrays
+    # (see the PRL layout note at the top: the (1, RAY_BLOCK) row block is
+    # Mosaic-illegal, in-kernel row<->column relayouts don't lower, and a
+    # (N, 1) column output gets VMEM-promoted by XLA on its LOGICAL size
+    # while its T(8,128)-padded size OOMs the scoped-vmem stack).  The tmax
+    # INPUT stays a cheap (N, 1) column — inputs aren't stack-allocated.
+    per_ray = pl.BlockSpec((RAY_BLOCK, PRL),
+                           lambda v, pk: (pk[v] >> bshift, 0),
                            memory_space=pltpu.VMEM)
+    tmax_spec = pl.BlockSpec((RAY_BLOCK, 1),
+                             lambda v, pk: (pk[v] >> bshift, 0),
+                             memory_space=pltpu.VMEM)
     n_out = 2 if PACKSEL else 4
     out_shapes = (
-        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
-        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.int32),
-        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
-        jax.ShapeDtypeStruct((sb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((sb * RAY_BLOCK, PRL), jnp.float32),
+        jax.ShapeDtypeStruct((sb * RAY_BLOCK, PRL), jnp.int32),
+        jax.ShapeDtypeStruct((sb * RAY_BLOCK, PRL), jnp.float32),
+        jax.ShapeDtypeStruct((sb * RAY_BLOCK, PRL), jnp.float32),
     )[:n_out]
 
     def one_slab(args):
@@ -523,7 +561,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
             grid=(total,),  # DYNAMIC: exactly the real visits, no skipped steps
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # dequant scale (1,)
-                ray_spec, ray_spec, per_ray,
+                ray_spec, ray_spec, tmax_spec,
                 pl.BlockSpec((16, TRI_CHUNK),
                              lambda v, pk: (0, pk[v] & cmask),
                              memory_space=pltpu.VMEM),
@@ -536,13 +574,18 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
                               subcull=subcull),
             grid_spec=grid_spec,
             out_shape=out_shapes,
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
-        )(packed, scale, o_s, d_s, tm_s.reshape(sb, RAY_BLOCK), tbl)
-        return kouts + (total,)
+        )(packed, scale, o_s, d_s, tm_s.reshape(-1, 1), tbl)
+        # Drop the lane-replication INSIDE the mapped function: lax.map then
+        # stacks (slab,) columns instead of (slab, PRL) tiles — the full
+        # tiles otherwise get VMEM-placed around the while body and blow the
+        # scoped-vmem budget (measured: 21.2 MB vs a 19.3 MB limit @53k
+        # tris), and the stacked copies would cost PRL x the HBM.
+        return tuple(x[:, 0] for x in kouts) + (total,)
 
     if nslabs == 1:
         *outs, visits = one_slab((o, d, tmax))
-        outs = tuple(x.reshape(-1) for x in outs)
     else:
         *outs, visits = jax.lax.map(
             one_slab,
@@ -597,30 +640,35 @@ def closest_hit_pallas(dense, origin, direction, t_max=1e30,
 
     n_out = 2 if PACKSEL else 4
     nrb = rp // RAY_BLOCK
+    # (rp, PRL) lane-replicated per-ray outputs, (rp, 1) tmax input — see
+    # the PRL layout note at the top of the module.
     out_shapes = (
-        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
-        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.int32),
-        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
-        jax.ShapeDtypeStruct((nrb, RAY_BLOCK), jnp.float32),
+        jax.ShapeDtypeStruct((rp, PRL), jnp.float32),
+        jax.ShapeDtypeStruct((rp, PRL), jnp.int32),
+        jax.ShapeDtypeStruct((rp, PRL), jnp.float32),
+        jax.ShapeDtypeStruct((rp, PRL), jnp.float32),
     )[:n_out]
     ray_spec = pl.BlockSpec((RAY_BLOCK, 3), lambda rb, tc: (rb, 0),
                             memory_space=pltpu.VMEM)
-    per_ray = pl.BlockSpec((1, RAY_BLOCK), lambda rb, tc: (rb, 0),
+    per_ray = pl.BlockSpec((RAY_BLOCK, PRL), lambda rb, tc: (rb, 0),
                            memory_space=pltpu.VMEM)
+    tmax_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda rb, tc: (rb, 0),
+                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            ray_spec, ray_spec, per_ray,
+            ray_spec, ray_spec, tmax_spec,
             pl.BlockSpec((16, TRI_CHUNK), lambda rb, tc: (0, tc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(per_ray, per_ray, per_ray, per_ray)[:n_out],
         out_shape=out_shapes,
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(o, d, tmax.reshape(nrb, RAY_BLOCK), tbl)
-    outs = tuple(x.reshape(-1) for x in outs)
+    )(o, d, tmax.reshape(-1, 1), tbl)
+    outs = tuple(x[:, 0] for x in outs)
 
     t = outs[0][:r]
     tri = outs[1][:r]
