@@ -24,10 +24,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from typing import TYPE_CHECKING
+
 from ..core import maths as m
 from . import bvh as bvh_mod
 from .bvh import BVH
 from .camera import Camera, generate_rays
+
+if TYPE_CHECKING:  # lights.py imports our BRDF helpers; avoid the cycle
+    from .lights import PointLights
 
 
 @struct.dataclass
@@ -117,6 +122,11 @@ class Scene:
     bvh: BVH
     materials: Materials
     sky: Sky
+    # Optional local lights for next-event estimation (reference samples a
+    # random point light per bounce alongside the sun:
+    # shaders/raytracing/path_tracing_rts.hlsl:341-366).  Shares the raster
+    # pipeline's PointLights table (position, radiance color, falloff radius).
+    point_lights: Optional["PointLights"] = None
 
 
 @struct.dataclass
@@ -132,6 +142,9 @@ class PathTracerSettings:
     light_intensity_scale: float = struct.field(pytree_node=False, default=1.0)
     multiple_importance_sampling: bool = struct.field(pytree_node=False, default=True)
     max_traversal_steps: int = struct.field(pytree_node=False, default=512)
+    # Physical emitter radius used for sphere-light solid-angle sampling
+    # (reference: path_tracing.h:22 pointLightRadius = 0.1f).
+    point_light_radius: float = struct.field(pytree_node=False, default=0.1)
     # Re-sort secondary rays by (direction octant, origin Morton cell) before
     # each bounce so ray blocks stay spatially coherent for the cluster-culled
     # kernel (primary rays are already tile-ordered; bounces scatter).
@@ -386,6 +399,47 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             radiance = radiance + jnp.where(
                 (hit & facing & ~shadowed)[:, None], contrib, 0.0
             )
+
+        # Next-event estimation toward one random point light per ray
+        # (reference: path_tracing_rts.hlsl:341-366 — uniform light pick,
+        # random point on the emitter sphere, solid-angle pdf halved for the
+        # visible hemisphere, balance-heuristic MIS against the BSDF pdf).
+        if settings.enable_direct_lighting and scene.point_lights is not None:
+            pls = scene.point_lights
+            nl = pls.position.shape[0]
+            key, k_li, k_sp = jax.random.split(key, 3)
+            li = jax.random.randint(k_li, (r,), 0, nl)
+            sp = m.noz(jax.random.normal(k_sp, (r, 3)))
+            lp = pls.position[li] + sp * settings.point_light_radius
+            to_l = lp - p
+            dist = jnp.maximum(jnp.linalg.norm(to_l, axis=-1), 1e-5)
+            l_pt = to_l / dist[:, None]
+            # Reference falloff (light_source.hlsli:14-22 getAttenuation).
+            rel = jnp.minimum(dist / jnp.maximum(pls.radius[li], 1e-5), 1.0)
+            dd = dist / jnp.maximum(1.0 - rel * rel, 1e-6)
+            att = 1.0 / (dd * dd + 1.0)
+            # Solid angle of the emitter sphere (math.hlsli:20-28), halved:
+            # a full-sphere surface sample maps two points to each cap
+            # direction, doubling the direction pdf.
+            s = jnp.minimum(settings.point_light_radius / dist, 1.0)
+            omega = 2.0 * jnp.pi * (1.0 - jnp.sqrt(jnp.maximum(1 - s * s, 0.0)))
+            pdf_l = 1.0 / jnp.maximum(0.5 * omega * nl, 1e-8)
+            facing_pt = jnp.sum(n * l_pt, -1) > 0
+            shadowed_pt = bvh_mod.any_hit(
+                scene.bvh, p, l_pt, t_max=jnp.maximum(dist - 1e-3, 1e-4),
+                max_steps=settings.max_traversal_steps,
+                regroup=regroup_bounces and bounce > 0,
+            )
+            f_pt, pdf_b_pt = eval_brdf(n, v, l_pt, albedo, rough, metal)
+            if settings.multiple_importance_sampling:
+                w_mis_pt = pdf_l / (pdf_l + pdf_b_pt)
+            else:
+                w_mis_pt = jnp.ones_like(pdf_l)
+            contrib_pt = (throughput * f_pt * pls.color[li]
+                          * (att * w_mis_pt / pdf_l)[:, None]
+                          * settings.light_intensity_scale)
+            ok_pt = hit & facing_pt & ~shadowed_pt & pls.valid[li]
+            radiance = radiance + jnp.where(ok_pt[:, None], contrib_pt, 0.0)
 
         if bounce == settings.recursion_depth:
             break

@@ -21,6 +21,8 @@ parser.add_argument("--platform", default="cpu")
 parser.add_argument("--out", default="render.png")
 parser.add_argument("--backend", default="dense", choices=["dense", "pallas"],
                     help="ray intersection backend (pallas = TPU VMEM kernel)")
+parser.add_argument("--point-lights", action="store_true",
+                    help="add two local point lights (NEE + MIS path)")
 args = parser.parse_args()
 
 import jax
@@ -63,7 +65,17 @@ mats = Materials(
     roughness=jnp.array([0.7, 0.35, 0.12, 0.5, 0.4]),
     metallic=jnp.array([0.0, 0.0, 1.0, 0.0, 0.0]),
 )
-scene = Scene(bvh=bvh, materials=mats, sky=default_sky())
+point_lights = None
+if args.point_lights:
+    from d3d12renderer_tpu.render.lights import make_point_lights
+
+    point_lights = make_point_lights(
+        positions=[[-1.0, 2.5, 2.0], [2.8, 2.0, 1.5]],
+        colors=[[9000.0, 7000.0, 4000.0], [2000.0, 4000.0, 9000.0]],
+        radii=[18.0, 18.0],
+    )
+scene = Scene(bvh=bvh, materials=mats, sky=default_sky(),
+              point_lights=point_lights)
 cam = look_at(eye=(6, 3.2, 7), target=(0, 0.8, 0), aspect=1.0,
               v_fov=math.radians(45))
 
