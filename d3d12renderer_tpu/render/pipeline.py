@@ -14,6 +14,7 @@ mirrors main_renderer.h:28-64,100-108.
 
 from __future__ import annotations
 
+import math
 from time import perf_counter as _perf_counter
 from typing import NamedTuple, Optional, Tuple
 
@@ -282,7 +283,9 @@ def _stage_reflections(scene, camera, color, gb, frame_state, *, settings):
                  first) = _half_ctx(gb, frame_state)
                 refl_low, conf_low = post.ssr(
                     post.downsample2(color), vp_low, n_low,
-                    post.downsample2(gb.roughness), settings.ssr)
+                    post.downsample2(gb.roughness), settings.ssr,
+                    tan_half=math.tan(camera.v_fov * 0.5),
+                    aspect=camera.aspect)
                 if (frame_state is not None
                         and frame_state.ssr_history is not None):
                     refl_low = post.temporal_accumulate(
@@ -299,7 +302,9 @@ def _stage_reflections(scene, camera, color, gb, frame_state, *, settings):
                                                depth_full)
             else:
                 refl, conf = post.ssr(color, gb.view_pos, gb.view_normal,
-                                      gb.roughness, settings.ssr)
+                                      gb.roughness, settings.ssr,
+                                      tan_half=math.tan(camera.v_fov * 0.5),
+                                      aspect=camera.aspect)
         else:
             refl = jnp.zeros_like(color)
             conf = jnp.zeros(color.shape[:-1])
