@@ -64,8 +64,21 @@ def physics_substep(
     dt: float,
     settings: PhysicsSettings,
     motor_overrides=None,
+    allow_fused: bool = True,
 ):
     n = arch.num_bodies
+
+    if allow_fused and getattr(settings, "fused_substep", "auto") != "off":
+        # Whole-substep fused Pallas kernel for plane-contact archetypes
+        # (substep_pallas.py): narrowphase + prep + solve + integration in
+        # one VMEM-resident kernel per 1024-scene tile.  Engages only under
+        # vmap on TPU (or fused_substep="force"); returns contacts=None
+        # because the ContactTable never leaves the chip.
+        from . import substep_pallas
+        fused = substep_pallas.make_fused_substep(
+            arch, settings, dt, motor_overrides)
+        if fused is not None:
+            return fused(state, motor_overrides), None
 
     # Contact generation uses pre-integration poses (reference: physics.cpp:1246
     # narrowphase runs before force integration).
@@ -260,7 +273,9 @@ def physics_step(
             vel0 = jnp.concatenate([state.vel, zero])
             omega0 = jnp.concatenate([state.omega, zero])
             pos0 = jnp.concatenate([state.pos, zero])
-        state, contacts = physics_substep(arch, state, h, settings, motor_overrides)
+        state, contacts = physics_substep(
+            arch, state, h, settings, motor_overrides,
+            allow_fused=not collect_events)
         if collect_events:
             from .events import CollisionEvents, collision_events
 

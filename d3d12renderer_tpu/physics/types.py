@@ -259,6 +259,12 @@ class PhysicsSettings:
     global_force_field: Tuple[float, float, float] = struct.field(
         pytree_node=False, default=(0.0, 0.0, 0.0)
     )
+    # Whole-substep fused Pallas kernel (physics/substep_pallas.py) for
+    # plane-contact archetypes: "auto" = engage under vmap on TPU only,
+    # "force" = always when batched (interpret mode off-TPU, for parity
+    # tests), "off" = never.  The fused path returns contacts=None — the
+    # ContactTable never leaves the chip; collect_events disables it.
+    fused_substep: str = struct.field(pytree_node=False, default="auto")
 
 
 def zero_state(num_bodies: int, dtype=jnp.float32) -> BodyState:
