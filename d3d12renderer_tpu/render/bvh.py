@@ -54,7 +54,7 @@ class BVH:
     dense: "DenseTris" = None
 
 
-BVH_CACHE_VERSION = 2  # v2: sub-cluster AABBs in DenseTris
+BVH_CACHE_VERSION = 3  # v3: sub-cluster AABBs only when SUBCULL opted in
 BVH_CACHE_MIN_TRIS = 50_000   # don't litter the cache with tiny test scenes
 _BVH_FIELDS = ("node_min", "node_max", "node_first", "node_count",
                "node_miss", "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1",
@@ -77,11 +77,11 @@ def _bvh_cache_dir() -> str:
 def _bvh_cache_key(meshes, use_dense: bool) -> str:
     import hashlib
 
-    from ..ops.ray_trace_pallas import SUB_CLUSTERS, TRI_CHUNK
+    from ..ops.ray_trace_pallas import SUB_CLUSTERS, SUBCULL, TRI_CHUNK
 
     h = hashlib.blake2b(digest_size=20)
     h.update(f"v{BVH_CACHE_VERSION}|leaf{LEAF_SIZE}|dense{int(use_dense)}"
-             f"|chunk{TRI_CHUNK}|sub{SUB_CLUSTERS}"
+             f"|chunk{TRI_CHUNK}|sub{SUB_CLUSTERS if SUBCULL else 0}"
              f"|dmax{DENSE_MAX_TRIS}".encode())
     for mesh, mat_id in meshes:
         for a in (mesh.positions, mesh.normals, mesh.uvs, mesh.indices):
@@ -98,7 +98,9 @@ def _bvh_cache_load(path: str) -> Optional[BVH]:
             kw = {k: jnp.asarray(z[k]) for k in _BVH_FIELDS}
             if "dense_n" in z.files:
                 kw["dense"] = DenseTris(
-                    **{k: jnp.asarray(z["dense_" + k]) for k in _DENSE_FIELDS})
+                    **{k: (jnp.asarray(z["dense_" + k])
+                           if "dense_" + k in z.files else None)
+                       for k in _DENSE_FIELDS})
             return BVH(**kw)
     except Exception:
         return None
@@ -110,7 +112,8 @@ def _bvh_cache_save(path: str, out: BVH, keep: int = 16):
     d = {k: np.asarray(getattr(out, k)) for k in _BVH_FIELDS}
     if out.dense is not None:
         d.update({"dense_" + k: np.asarray(getattr(out.dense, k))
-                  for k in _DENSE_FIELDS})
+                  for k in _DENSE_FIELDS
+                  if getattr(out.dense, k) is not None})
     tmp = f"{path}.tmp{os.getpid()}"  # pid suffix: concurrent builders of
     with open(tmp, "wb") as f:        # the same scene must not interleave
         np.savez(f, **d)
@@ -404,7 +407,7 @@ class DenseTris:
                                     # table rows 13/14 by pack_tris)
 
 
-def build_dense(bvh: BVH) -> DenseTris:
+def build_dense(bvh: BVH, with_sub: Optional[bool] = None) -> DenseTris:
     v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
     n = jnp.cross(e1, e2)
     nn = jnp.sum(n * n, -1, keepdims=True)
@@ -429,11 +432,18 @@ def build_dense(bvh: BVH) -> DenseTris:
     cluster_hi = thi.reshape(-1, TRI_CHUNK, 3).max(axis=1)
     # Sub-cluster AABBs: SUB_CLUSTERS column ranges per chunk, for the
     # in-kernel sub-tile skip (empty sub-AABBs stay +inf/-inf: slab-test
-    # rejected, so padded sub-tiles are never visited).
-    sub_lo = tlo.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
-                         3).min(axis=2)
-    sub_hi = thi.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
-                         3).max(axis=2)
+    # rejected, so padded sub-tiles are never visited).  Sub-cluster
+    # culling LOSES on every measured scene (docs/ROADMAP.md), so the
+    # tables are built only when the opt-in flag is set — default builds
+    # pay nothing at build, pack, or cache time (VERDICT r3 #10).
+    if with_sub is None:
+        from ..ops.ray_trace_pallas import SUBCULL as with_sub
+    sub_lo = sub_hi = None
+    if with_sub:
+        sub_lo = tlo.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
+                             3).min(axis=2)
+        sub_hi = thi.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
+                             3).max(axis=2)
 
     return DenseTris(
         n=n,

@@ -32,7 +32,7 @@ parser.add_argument("--dispatch", default=None,
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"])
 args = parser.parse_args()
 if args.dispatch is None:
-    args.dispatch = "per_pass" if args.platform == "axon" else "fused"
+    args.dispatch = "grouped" if args.platform == "axon" else "fused"
 if args.backend is None:
     args.backend = "pallas" if args.platform == "axon" else "dense"
 

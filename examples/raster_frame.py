@@ -30,17 +30,18 @@ parser.add_argument("--dump-exr", default=None, metavar="PATH",
 parser.add_argument("--frames", type=int, default=4)
 parser.add_argument("--dispatch", default=None,
                     choices=["fused", "per_pass", "grouped"],
-                    help="default: per_pass on axon (the current TPU "
-                         "toolchain's fusion pass crashes on the fused "
-                         "whole-frame module; 'grouped' = 3 programs, "
-                         "fewer dispatch boundaries), fused elsewhere")
+                    help="default: grouped on axon (3 module-level programs;"
+                         " measured 1.01 vs per_pass 1.49 ms at 256^2 and "
+                         "1.67 vs 1.73 ms at 1080p — the whole-frame fused "
+                         "module still crashes the TPU toolchain's fusion "
+                         "pass), fused elsewhere")
 parser.add_argument("--backend", default=None, choices=["dense", "pallas"],
                     help="ray backend; default pallas on axon (the Mosaic "
                          "kernel sidesteps the XLA traversal graph and is "
                          "the fast path), dense elsewhere")
 args = parser.parse_args()
 if args.dispatch is None:
-    args.dispatch = "per_pass" if args.platform == "axon" else "fused"
+    args.dispatch = "grouped" if args.platform == "axon" else "fused"
 if args.backend is None:
     args.backend = "pallas" if args.platform == "axon" else "dense"
 

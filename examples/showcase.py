@@ -40,7 +40,7 @@ args = parser.parse_args()
 # axon defaults: per-pass stage dispatch (the TPU toolchain's fusion pass
 # crashes on the fused whole-frame module) + the Mosaic ray kernel.
 if args.dispatch is None:
-    args.dispatch = "per_pass" if args.platform == "axon" else "fused"
+    args.dispatch = "grouped" if args.platform == "axon" else "fused"
 if args.backend is None:
     args.backend = "pallas" if args.platform == "axon" else "dense"
 

@@ -303,6 +303,10 @@ def test_ray_trace_subcull_matches_full_visits(monkeypatch):
             translate=tuple(rng.uniform(-3, 3, 3)))
         meshes.append((s, i))
     b = bvh_mod.build_bvh(meshes)
+    # Default builds carry no sub-cluster tables (SUBCULL loses everywhere
+    # measured; VERDICT r3 #10) — opt in explicitly for this parity test.
+    assert b.dense.sub_lo is None
+    b = b.replace(dense=bvh_mod.build_dense(b, with_sub=True))
     assert b.dense.sub_lo is not None
     # Tail chunk has empty (NaN-packed) sub-clusters unless T % 1024 == 0.
     R = 2000
