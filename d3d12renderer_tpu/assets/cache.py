@@ -21,7 +21,7 @@ from typing import Callable, Dict, Optional
 import numpy as np
 import yaml
 
-CACHE_VERSION = 1  # bump to invalidate all caches (reference: bin.cpp version)
+CACHE_VERSION = 2  # v2: compressed texture payloads (BC1/f16 mips)
 
 
 def _cache_path(source_path: str, flags_key: str) -> str:
@@ -29,10 +29,17 @@ def _cache_path(source_path: str, flags_key: str) -> str:
     return f"{source_path}.cache_{h}.bin"
 
 
-def load_with_cache(source_path: str, loader: Callable, flags_key: str = ""):
+def load_with_cache(source_path: str, loader: Callable, flags_key: str = "",
+                    pack: Optional[Callable] = None,
+                    unpack: Optional[Callable] = None):
     """Load `source_path` through `loader`, caching the result next to the
     source; invalidated when the source mtime or cache version changes
-    (reference: model_asset.cpp:23-63)."""
+    (reference: model_asset.cpp:23-63).
+
+    `pack`/`unpack` transform the payload to/from its on-disk form (e.g.
+    BC1/f16 texture compression, reference .cache.dds image.cpp:76-96).
+    A cache MISS also returns `unpack(pack(result))` so hits and misses
+    return bit-identical data."""
     cpath = _cache_path(source_path, flags_key)
     src_mtime = os.path.getmtime(source_path)
     if os.path.exists(cpath):
@@ -41,13 +48,17 @@ def load_with_cache(source_path: str, loader: Callable, flags_key: str = ""):
                 header = pickle.load(f)
                 if (header.get("version") == CACHE_VERSION
                         and header.get("mtime") == src_mtime):
-                    return pickle.load(f), True
+                    payload = pickle.load(f)
+                    return (unpack(payload) if unpack else payload), True
         except Exception:
             pass
     result = loader(source_path)
+    payload = pack(result) if pack else result
     with open(cpath, "wb") as f:
         pickle.dump({"version": CACHE_VERSION, "mtime": src_mtime}, f)
-        pickle.dump(result, f)
+        pickle.dump(payload, f)
+    if pack:
+        result = unpack(payload)
     return result, False
 
 
@@ -88,8 +99,20 @@ def load_image(path: str, generate_mips: bool = False):
 
 
 def load_image_cached(path: str, generate_mips: bool = False):
-    return load_with_cache(path, lambda p: load_image(p, generate_mips),
-                           flags_key=f"mips={generate_mips}")
+    """Image through the derived cache in COMPRESSED form: LDR RGB mips
+    store as BC1 blocks (0.5 B/texel, 24x smaller than raw float32), HDR
+    and high-bit-depth mips as float16 (2x) — the TPU-native stand-in for
+    the reference's `.cache.dds` BC path (src/asset/image.cpp:76-96).
+    Returned mips are float32 linear either way (decode happens at load)."""
+    from . import texcompress
+
+    ext = os.path.splitext(path)[1].lower()
+    hdr = ext in (".hdr", ".exr")
+    return load_with_cache(
+        path, lambda p: load_image(p, generate_mips),
+        flags_key=f"mips={generate_mips}",
+        pack=lambda mips: texcompress.pack_mips(mips, hdr=hdr),
+        unpack=texcompress.unpack_mips)
 
 
 class FileRegistry:

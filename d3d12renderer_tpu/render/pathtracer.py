@@ -284,27 +284,13 @@ def _sample_sun(key, sky: Sky):
             + sky.sun_direction * cos_t)
 
 
-def _spread5(x):
-    """Spread the low 5 bits of x to every 3rd bit (Morton interleave)."""
-    x = (x | (x << 8)) & 0x100F
-    x = (x | (x << 4)) & 0x10C3
-    x = (x | (x << 2)) & 0x1249
-    return x
-
-
 def _bounce_sort_perm(o, d, lo, hi):
-    """Sort order for secondary rays: direction octant (3 bits) then a
-    5-bit/axis Morton code of the origin inside the scene AABB.  Rays in the
-    same octant+cell land in the same 1024-ray kernel block, so the per-block
-    cluster culling prunes like it does for primary tiles."""
-    oct_ = ((d[:, 0] > 0).astype(jnp.uint32) * 4
-            + (d[:, 1] > 0).astype(jnp.uint32) * 2
-            + (d[:, 2] > 0).astype(jnp.uint32))
-    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0,
-                 0.0, 31.0).astype(jnp.uint32)
-    morton = ((_spread5(q[:, 0]) << 2) | (_spread5(q[:, 1]) << 1)
-              | _spread5(q[:, 2]))
-    return jnp.argsort((oct_ << 15) | morton)
+    """Sort order for secondary rays (payload-sort fallback for the
+    non-Pallas backends): the same 6-axis direction+origin Morton key the
+    kernel's in-call regroup uses (ops/ray_trace_pallas.regroup_perm)."""
+    from ..ops.ray_trace_pallas import regroup_perm
+
+    return regroup_perm(o, d, lo, hi)
 
 
 def trace_sample(scene: Scene, settings: PathTracerSettings,

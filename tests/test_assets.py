@@ -261,3 +261,41 @@ def test_fbx_quad_triangulation(tmp_path):
     assert len(mesh.indices) == 2  # quad -> 2 triangles
     # Normals were generated (no layer present).
     np.testing.assert_allclose(np.abs(mesh.normals[:, 2]), 1.0, atol=1e-5)
+
+
+def test_bc1_texture_codec_roundtrip():
+    """BC1 cache codec (reference .cache.dds, src/asset/image.cpp:76-96):
+    solid blocks are near-exact, natural gradients stay above 30 dB PSNR,
+    and the packed payload is ~24x smaller than the float32 mips."""
+    import pickle
+
+    from d3d12renderer_tpu.assets import texcompress as tc
+
+    # Solid color: endpoints collapse to the color -> error is pure 565
+    # quantization (< 1/62 per channel in sRGB).
+    solid = np.full((16, 16, 3), 0.3, np.float32)
+    dec = tc.bc1_decode(tc.bc1_encode(solid))
+    assert np.abs(tc._to_srgb(dec) - tc._to_srgb(solid)).max() < 1 / 31
+
+    # Natural content: smooth gradient + low noise, 8-bit quantized like a
+    # real texture.
+    rng = np.random.default_rng(0)
+    x, y = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64))
+    img = np.stack([x, y, 0.5 + 0.2 * np.sin(6 * x)], -1)
+    img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+    img8 = np.round(tc._to_srgb(img.astype(np.float32)) * 255) / 255
+    lin = tc._from_srgb(img8).astype(np.float32)
+    dec = tc.bc1_decode(tc.bc1_encode(lin))
+    mse = float(np.mean((tc._to_srgb(dec) - tc._to_srgb(lin)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"BC1 PSNR {psnr:.1f} dB"
+
+    payload = tc.pack_mips([lin], hdr=False)
+    assert payload["mips"][0]["format"] == "bc1"
+    packed = len(pickle.dumps(payload))
+    raw = lin.nbytes
+    assert packed * 12 < raw, f"only {raw / packed:.1f}x smaller"
+
+    # 16-bit-ish content (not 8-bit representable) must take the f16 path.
+    hi = (lin + rng.uniform(0, 1 / 1024, lin.shape)).astype(np.float32)
+    assert tc.pack_mips([hi], hdr=False)["mips"][0]["format"] == "f16"
