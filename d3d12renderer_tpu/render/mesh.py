@@ -325,3 +325,111 @@ def sphere_grid_scene(rings, slices, n=8, radius=0.45, spacing=1.2,
             meshes.append((s, (ix + iz) % 4))
     meshes.append((quad(ground_half), 0))
     return meshes
+
+
+def atrium_scene(detail: float = 1.0, ground_half: float = 14.0):
+    """Sponza-class architectural benchmark scene: a two-story colonnaded
+    courtyard (~260k triangles at detail=1.0) standing in for the
+    reference's Sponza content (reference: src/application.cpp:106 loads
+    Sponza ~260k tris as the default editor scene; the asset itself cannot
+    ship here, so the geometry CLASS is reproduced procedurally: long
+    occluded interiors, repeated curved trim, thin balusters — the shapes
+    that make ray/raster numbers honest in ways sphere grids are not).
+
+    Returns a list of (MeshData, material_id) with 6 materials:
+    0 floor, 1 column stone, 2 trim/capitals, 3 balustrade, 4 fountain
+    metal, 5 cloth banners.  `detail` scales tessellation (0.2 ~ 12k tris
+    for CPU golden tests)."""
+    def d(n, lo=3):
+        return max(int(round(n * detail)), lo)
+
+    meshes: List[Tuple[MeshData, int]] = []
+    cw, cd = 10.0, 7.0          # court half-width / half-depth
+    story = [0.0, 3.2]          # story base heights
+
+    meshes.append((quad(ground_half), 0))
+    # Perimeter walls (boxes; tops open to the sky like Sponza's court).
+    for sx in (-1.0, 1.0):
+        meshes.append((box((0.4, 3.4, cd + 1.6)).transformed(
+            translate=(sx * (cw + 1.2), 3.4, 0.0)), 1))
+    for sz in (-1.0, 1.0):
+        meshes.append((box((cw + 1.6, 3.4, 0.4)).transformed(
+            translate=(0.0, 3.4, sz * (cd + 1.2))), 1))
+
+    # Colonnades: two rows x two stories along +-z edges of the court.
+    ncol = 8
+    for level, base in enumerate(story):
+        r = 0.28 if level == 0 else 0.22
+        h = 1.1 if level == 0 else 0.9
+        for i in range(ncol):
+            x = (i + 0.5) / ncol * 2 * cw - cw
+            for sz in (-1.0, 1.0):
+                z = sz * (cd - 0.6)
+                shaft = cylinder(r, h, slices=d(40)).transformed(
+                    translate=(x, base + h + 0.3, z))
+                meshes.append((shaft, 1))
+                for (ty, mat) in ((base + 0.22, 2),
+                                  (base + 2 * h + 0.38, 2)):
+                    meshes.append((torus(
+                        r + 0.1, 0.09, major_slices=d(36),
+                        minor_slices=d(14)).transformed(
+                            translate=(x, ty, z)), mat))
+                meshes.append((box((r + 0.22, 0.08, r + 0.22)).transformed(
+                    translate=(x, base + 2 * h + 0.52, z)), 2))
+        # Architrave beams the columns carry.
+        for sz in (-1.0, 1.0):
+            meshes.append((box((cw, 0.16, 0.45)).transformed(
+                translate=(0.0, base + 2 * h + 0.76, sz * (cd - 0.6))), 2))
+
+    # Second-floor balustrade: thin balusters + handrail (the classic
+    # many-thin-occluders raytracing stressor).
+    nbal = int(56 * max(detail, 0.25))
+    for sz in (-1.0, 1.0):
+        z = sz * (cd - 1.4)
+        meshes.append((box((cw - 0.4, 0.05, 0.09)).transformed(
+            translate=(0.0, story[1] + 0.95, z)), 3))
+        for i in range(nbal):
+            x = (i + 0.5) / nbal * 2 * (cw - 0.5) - (cw - 0.5)
+            meshes.append((capsule(0.045, 0.34, rings=d(6, 2),
+                                   slices=d(14, 6)).transformed(
+                translate=(x, story[1] + 0.55, z)), 3))
+
+    # Arch rings over the lower colonnade bays (lower half hides in the
+    # architrave, reading as arches from the court).
+    for sz in (-1.0, 1.0):
+        for i in range(ncol - 1):
+            x = (i + 1.0) / ncol * 2 * cw - cw
+            arch = hollow_cylinder(
+                1.05, 0.82, 0.18, slices=d(40)).transformed(
+                    rotate=(np.sin(np.pi / 4), 0, 0, np.cos(np.pi / 4)),
+                    translate=(x, story[1] - 0.3, sz * (cd - 0.6)))
+            meshes.append((arch, 2))
+
+    # Central fountain: basin ring, pedestal, reflective orb.
+    meshes.append((hollow_cylinder(2.4, 2.0, 0.35, slices=d(64)).transformed(
+        translate=(0, 0.35, 0)), 1))
+    meshes.append((cylinder(0.35, 0.6, slices=d(28)).transformed(
+        translate=(0, 0.6, 0)), 2))
+    meshes.append((uv_sphere(0.55, d(28), d(48)).transformed(
+        translate=(0, 1.75, 0)), 4))
+    meshes.append((torus(1.0, 0.12, major_slices=d(48),
+                         minor_slices=d(12)).transformed(
+        translate=(0, 1.2, 0)), 4))
+
+    # Hanging cloth banners (large tilted quads, like Sponza's drapes).
+    for i, x in enumerate((-6.0, -2.0, 2.0, 6.0)):
+        banner = quad(1.0).transformed(
+            rotate=(np.sin(np.pi / 4 + 0.06 * i), 0, 0,
+                    np.cos(np.pi / 4 + 0.06 * i)),
+            scale=(0.9, 1.0, 1.6),
+            translate=(x, 4.6, 0.2 * (i % 2) - 2.0))
+        meshes.append((banner, 5))
+
+    # Coffered ceiling slabs under the upper walkway.
+    ncof = int(12 * max(detail, 0.3))
+    for sz in (-1.0, 1.0):
+        for i in range(ncof):
+            x = (i + 0.5) / ncof * 2 * (cw - 0.6) - (cw - 0.6)
+            meshes.append((box((0.55, 0.06, 0.5)).transformed(
+                translate=(x, story[1] - 0.12, sz * (cd - 0.6))), 2))
+    return meshes

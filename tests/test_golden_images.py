@@ -127,3 +127,66 @@ def test_golden_showcase(request, tmp_path):
         check=True, cwd=repo, env=env, timeout=1200)
     img = np.asarray(Image.open(out).convert("RGB"))
     check_golden(request, "showcase_96", img)
+
+
+@pytest.fixture(scope="module")
+def atrium():
+    """Reduced-detail architectural scene (VERDICT r3 missing #6: golden
+    content at the reference's geometry class — Sponza-like colonnades,
+    balusters, arches — instead of sphere grids)."""
+    import jax.numpy as jnp
+
+    from d3d12renderer_tpu.render import bvh as bvh_mod
+    from d3d12renderer_tpu.render.mesh import atrium_scene
+    from d3d12renderer_tpu.render.pathtracer import (
+        Materials, Scene, default_sky,
+    )
+    b = bvh_mod.build_bvh(atrium_scene(0.3))
+    mats = Materials(
+        albedo=jnp.array([[0.55, 0.5, 0.45], [0.7, 0.66, 0.6],
+                          [0.75, 0.72, 0.65], [0.6, 0.58, 0.52],
+                          [0.9, 0.88, 0.85], [0.6, 0.15, 0.12]]),
+        emissive=jnp.zeros((6, 3)),
+        roughness=jnp.array([0.6, 0.7, 0.55, 0.65, 0.15, 0.8]),
+        metallic=jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+    )
+    return Scene(bvh=b, materials=mats, sky=default_sky())
+
+
+@pytest.fixture(scope="module")
+def atrium_cam():
+    from d3d12renderer_tpu.render.camera import look_at
+    return look_at(eye=(0.0, 2.2, -6.2), target=(0.0, 2.0, 2.0), aspect=1.0,
+                   v_fov=math.radians(60))
+
+
+def test_golden_atrium_raster(request, atrium, atrium_cam):
+    """Raster pipeline over the architectural scene pinned at 96x96."""
+    from d3d12renderer_tpu.render.lights import make_point_lights
+    from d3d12renderer_tpu.render.pipeline import (
+        RendererSettings, initial_frame_state, render_frame_with_shadows,
+    )
+    lights = make_point_lights(
+        np.array([[0.0, 2.6, 0.0], [4.0, 5.5, 2.0]], np.float32),
+        np.array([[10.0, 8.0, 6.0], [4.0, 5.0, 8.0]], np.float32),
+        np.array([10.0, 12.0], np.float32))
+    state = initial_frame_state(96, 96)
+    fn = jax.jit(lambda st, k: render_frame_with_shadows(
+        atrium, atrium_cam, 96, 96, RendererSettings(),
+        shadow_resolution=128, point_lights=lights, frame_state=st, key=k))
+    ldr, state, _ = fn(state, jax.random.PRNGKey(0))
+    ldr, state, _ = fn(state, jax.random.PRNGKey(1))
+    img = (np.clip(np.asarray(ldr), 0, 1) * 255).astype(np.uint8)
+    check_golden(request, "atrium_raster_96", img)
+
+
+def test_golden_atrium_pathtraced(request, atrium, atrium_cam):
+    """Path-traced architectural interior pinned at 64x64 (occluded court,
+    indirect-heavy — the content class sphere grids cannot cover)."""
+    from d3d12renderer_tpu.render.pathtracer import (
+        PathTracerSettings, render, to_srgb_u8,
+    )
+    img = render(atrium, atrium_cam, 64, 64,
+                 PathTracerSettings(recursion_depth=2), spp=4,
+                 key=jax.random.PRNGKey(3))
+    check_golden(request, "atrium_pathtraced_64", np.asarray(to_srgb_u8(img)))
