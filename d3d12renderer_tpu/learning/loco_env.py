@@ -93,6 +93,11 @@ class LocoEnv:
         head = rd.BODY_PARTS.index("head")
         self.head_target_height = float(p0.pos[self.part_idx[head], 1])
         self.torso_velocity_target = jnp.zeros(3)
+        # Reset observation, computed EAGERLY here: the fused-kernel builder
+        # embeds it as constants and must not pick up tracers when the env
+        # step is traced (jnp constant creation is staged under jit).
+        self._obs0 = np.asarray(jax.device_get(
+            self._get_obs(self._state0, jnp.zeros(ACTION_SIZE))))
 
     # -- helpers -----------------------------------------------------------
 
@@ -164,13 +169,16 @@ class LocoEnv:
         return fall * (rp + rv + rlocal + rvcm)
 
     def _motor_overrides(self, smoothed_action):
-        ct = smoothed_action[: rd.NUM_CONE_TWIST * 3].reshape(rd.NUM_CONE_TWIST, 3)
-        hinge = smoothed_action[rd.NUM_CONE_TWIST * 3:]
+        """Works for per-scene (27,) and batched (..., 27) actions."""
+        lead = smoothed_action.shape[:-1]
+        ct = smoothed_action[..., : rd.NUM_CONE_TWIST * 3].reshape(
+            lead + (rd.NUM_CONE_TWIST, 3))
+        hinge = smoothed_action[..., rd.NUM_CONE_TWIST * 3:]
         overrides = [None] * self._num_tables
         overrides[self._table_index["cone_twist"]] = {
-            "twist_target": ct[:, 0],
-            "swing_target": ct[:, 1],
-            "swing_axis_angle": ct[:, 2],
+            "twist_target": ct[..., 0],
+            "swing_target": ct[..., 1],
+            "swing_axis_angle": ct[..., 2],
         }
         overrides[self._table_index["hinge"]] = {"motor_target": hinge}
         return tuple(overrides)
@@ -192,6 +200,165 @@ class LocoEnv:
             torque=bodies.torque.at[body].add(torque),
         )
 
+    # -- fused whole-env-step kernel ----------------------------------------
+
+    def _build_post_stage(self):
+        """Tile-algebra obs/reward/fall/auto-reset stage appended to the
+        fused substep kernel (whole env step on-chip; mirrors _step_core's
+        post-physics body exactly, with _acos standing in for arccos)."""
+        from ..physics import substep_pallas as sp
+
+        idx = [int(i) for i in np.asarray(self.part_idx)]
+        parent = [int(i) for i in np.asarray(self.parent_idx)]
+        lcog = np.asarray(jax.device_get(self.arch.local_cog))
+        local_pts = np.asarray(self.local_points)           # (14,6,3)
+        tgt_pts = np.asarray(self.target_points)            # (14,6,3)
+        tgt_lrot = np.asarray(self.target_local_rot)        # (14,4)
+        obs_slots = [int(s) for s in np.asarray(self.obs_part_slots)]
+        head_b = idx[rd.BODY_PARTS.index("head")]
+        head_h = float(self.head_target_height)
+        obs0 = self._obs0
+        s0 = {k: np.asarray(jax.device_get(getattr(self._state0, k)))
+              for k in ("pos", "rot", "vel", "omega")}
+
+        # Table positions in the kernel's solve-order-sorted layout.
+        from ..physics import joints as joints_mod
+        order = {k: i for i, k in enumerate(joints_mod.JOINT_SOLVE_ORDER)}
+        table_order = sorted(range(len(self.arch.joints)),
+                             key=lambda k: order[self.arch.joints[k].kind])
+        tpos_of = {self.arch.joints[k].kind: i
+                   for i, k in enumerate(table_order)}
+        ct_t, h_t = tpos_of["cone_twist"], tpos_of["hinge"]
+        n_parts = len(idx)
+
+        def post_stage(ctx):
+            pos, rot = ctx["pos"], ctx["rot"]
+            vel, omega = ctx["vel"], ctx["omega"]
+            ovr = ctx["ovr"]
+
+            # World sample points of each part (reference:
+            # learned_locomotion.cpp getBodyPartTarget 6-point sampling).
+            pts = []
+            for p in range(n_parts):
+                b = idx[p]
+                row = []
+                for k in range(6):
+                    rel = tuple(float(x)
+                                for x in (local_pts[p, k] - lcog[b]))
+                    row.append(sp._vadd(pos[b], sp._qrotate(rot[b], rel)))
+                pts.append(row)
+
+            pos_err = 0.0
+            vel_err = 0.0
+            for p in range(n_parts):
+                b = idx[p]
+                for k in range(6):
+                    d = sp._vsub(pts[p][k],
+                                 tuple(float(x) for x in tgt_pts[p, k]))
+                    pos_err = sp._add(pos_err, jnp.sqrt(sp._vdot(d, d)))
+                    r = sp._vsub(pts[p][k], pos[b])
+                    pv = sp._vadd(vel[b], sp._vcross(omega[b], r))
+                    vel_err = sp._add(vel_err, jnp.sqrt(sp._vdot(pv, pv)))
+
+            rot_err = 0.0
+            ident = (0.0, 0.0, 0.0, 1.0)
+            for p in range(n_parts):
+                q = rot[idx[p]]
+                qp = rot[idx[parent[p]]] if parent[p] >= 0 else ident
+                local = sp._qmul(q, sp._qconj(qp))
+                diff = sp._qmul(tuple(float(x) for x in tgt_lrot[p]),
+                                sp._qconj(local))
+                rot_err = sp._add(
+                    rot_err,
+                    2.0 * sp._acos(jnp.clip(diff[3], -1.0, 1.0)))
+
+            vcm = vel[idx[0]]
+            vcm_err = jnp.sqrt(sp._vdot(vcm, vcm))
+            n = float(n_parts)
+            rsum = (jnp.exp(-10.0 / n * pos_err) + jnp.exp(-1.0 / n * vel_err)
+                    + jnp.exp(-10.0 / n * rot_err) + jnp.exp(-vcm_err))
+            head_y = pos[head_b][1]
+            fall = jnp.clip(1.3 - 1.4 * (head_h - head_y), 0.0, 1.0)
+            done = head_y < 1.0
+            reward = jnp.where(done, 0.0, fall * rsum)
+
+            # Observation (reference: learned_locomotion.h:41-64 layout).
+            torso = idx[0]
+            ox, oz = pos[torso][0], pos[torso][2]
+            obs = list(vel[torso])
+            for s in obs_slots:
+                b = idx[s]
+                obs += [pos[b][0] - ox, pos[b][1], pos[b][2] - oz,
+                        vel[b][0], vel[b][1], vel[b][2]]
+            for i in range(rd.NUM_CONE_TWIST):
+                obs += [ovr[(ct_t, "twist_target")][i],
+                        ovr[(ct_t, "swing_target")][i],
+                        ovr[(ct_t, "swing_axis_angle")][i]]
+            for j in range(rd.NUM_HINGE):
+                obs.append(ovr[(h_t, "motor_target")][j])
+            obs = [jnp.where(done, float(obs0[c]), v)
+                   for c, v in enumerate(obs)]
+
+            # Body auto-reset to the standing pose.
+            def reset_vec(cur, const_row):
+                return tuple(jnp.where(done, float(c), x)
+                             for c, x in zip(const_row, cur))
+
+            for b in range(len(pos)):
+                pos[b] = reset_vec(pos[b], s0["pos"][b])
+                rot[b] = reset_vec(rot[b], s0["rot"][b])
+                vel[b] = reset_vec(vel[b], s0["vel"][b])
+                omega[b] = reset_vec(omega[b], s0["omega"][b])
+
+            extras = obs + [reward, jnp.where(done, 1.0, 0.0)]
+            return pos, rot, vel, omega, extras
+
+        return post_stage
+
+    def _fused_env_step(self):
+        """custom_vmap'd whole-env-step kernel, or None off-TPU/unsupported.
+        Unbatched calls fall back to _step_core (identical semantics)."""
+        from jax.custom_batching import custom_vmap
+
+        from ..physics import substep_pallas as sp
+
+        mode = sp._should_build(self.settings)
+        if mode is None:
+            return None
+        template = self._motor_overrides(jnp.zeros(ACTION_SIZE))
+        run = sp.make_kernel_runner(
+            self.arch, self.settings, 1.0 / FRAME_RATE, template,
+            post_stage=self._build_post_stage(), n_extra=STATE_SIZE + 2)
+        if run is None:
+            return None
+        env = self
+
+        @custom_vmap
+        def fused(bodies, smoothed):
+            return env._step_core(bodies, smoothed)
+
+        @fused.def_vmap
+        def fused_vmap(axis_size, in_batched, bodies, smoothed):
+            def bcast(tree, batched):
+                return jax.tree_util.tree_map(
+                    lambda leaf, b: leaf if b else jnp.broadcast_to(
+                        leaf, (axis_size,) + leaf.shape),
+                    tree, batched)
+
+            bodies_b = bcast(bodies, in_batched[0])
+            smoothed_b = bcast(smoothed, in_batched[1])
+            on_tpu = jax.default_backend() == "tpu"
+            if not on_tpu and mode != "force":
+                out = jax.vmap(env._step_core)(bodies_b, smoothed_b)
+            else:
+                leaves = sp.ovr_leaves(env._motor_overrides(smoothed_b))
+                st, extra = run(bodies_b, leaves, interpret=not on_tpu)
+                out = (st, extra[:, :STATE_SIZE], extra[:, STATE_SIZE],
+                       extra[:, STATE_SIZE + 1] > 0.5)
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+
+        return fused
+
     # -- public API --------------------------------------------------------
 
     def reset(self, key) -> Tuple[jnp.ndarray, EnvState]:
@@ -204,15 +371,9 @@ class LocoEnv:
         )
         return self._get_obs(self._state0, zero_action), env_state
 
-    def step(self, env_state: EnvState, action) -> Tuple[
-        jnp.ndarray, EnvState, jnp.ndarray, jnp.ndarray
-    ]:
-        """One 60 Hz control step.  Auto-resets when fallen."""
-        rng, poke_key = jax.random.split(env_state.rng)
-        smoothed = env_state.last_action + ACTION_SMOOTHING * (
-            action - env_state.last_action
-        )
-        bodies = self._maybe_poke(env_state.bodies, poke_key)
+    def _step_core(self, bodies: BodyState, smoothed):
+        """Physics + done/reward/obs + body auto-reset for one scene.
+        Shared by the regular path and the fused kernel's fallback."""
         bodies, _ = physics_step(
             self.arch, bodies, self.settings, 1.0 / FRAME_RATE,
             motor_overrides=self._motor_overrides(smoothed),
@@ -225,8 +386,31 @@ class LocoEnv:
         bodies = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), self._state0, bodies
         )
+        obs = jnp.where(
+            done, self._get_obs(self._state0, jnp.zeros(ACTION_SIZE)), obs)
+        return bodies, obs, reward, done
+
+    def step(self, env_state: EnvState, action) -> Tuple[
+        jnp.ndarray, EnvState, jnp.ndarray, jnp.ndarray
+    ]:
+        """One 60 Hz control step.  Auto-resets when fallen.
+
+        On TPU (or fused_substep="force") the WHOLE step body — physics
+        substep, observation, reward, fall check, body auto-reset — runs as
+        one fused Pallas kernel per 1024-env tile (physics/substep_pallas.py
+        + _fused_post_stage below); only the action smoothing, poke RNG and
+        step counter stay outside."""
+        rng, poke_key = jax.random.split(env_state.rng)
+        smoothed = env_state.last_action + ACTION_SMOOTHING * (
+            action - env_state.last_action
+        )
+        bodies = self._maybe_poke(env_state.bodies, poke_key)
+        fused = self._fused_env_step()
+        if fused is not None:
+            bodies, obs, reward, done = fused(bodies, smoothed)
+        else:
+            bodies, obs, reward, done = self._step_core(bodies, smoothed)
         smoothed = jnp.where(done, jnp.zeros_like(smoothed), smoothed)
-        obs = jnp.where(done, self._get_obs(self._state0, jnp.zeros(ACTION_SIZE)), obs)
         env_state = EnvState(
             bodies=bodies, last_action=smoothed, rng=rng,
             steps=jnp.where(done, 0, env_state.steps + 1),

@@ -1024,14 +1024,25 @@ def _solve_contact_row(cp, vb, wb, imp_n, imp_t):
 
 
 def _build_kernel(body, crows, contact_colors, tables, ovr_spec, dt,
-                  iterations, gff):
-    """Returns the pallas kernel fn over stacked state tiles."""
+                  iterations, gff, post_stage=None, n_extra=0):
+    """Returns the pallas kernel fn over stacked state tiles.
+
+    `post_stage(ctx)` optionally appends more on-chip work after velocity
+    integration (e.g. the locomotion env's obs/reward/auto-reset,
+    learning/loco_env.py): ctx = dict(pos/rot/vel/omega as lists of tile
+    tuples, ovr = override tiles); it returns (pos, rot, vel, omega,
+    extras) where extras is a list of `n_extra` scalar tiles emitted as
+    one (n_extra, 8, 128) output."""
     N = body["inv_mass"].shape[0]
     n_ovr = len(ovr_spec)
 
     def kernel(*refs):
         in_refs = refs[:6 + n_ovr]
-        out_pos, out_rot, out_vel, out_omega = refs[6 + n_ovr:]
+        if n_extra:
+            out_pos, out_rot, out_vel, out_omega, out_extra = \
+                refs[6 + n_ovr:]
+        else:
+            out_pos, out_rot, out_vel, out_omega = refs[6 + n_ovr:]
         pos_a = in_refs[0][...]
         rot_a = in_refs[1][...]
         vel_a = in_refs[2][...]
@@ -1155,6 +1166,13 @@ def _build_kernel(body, crows, contact_colors, tables, ovr_spec, dt,
         for i in range(N):
             new_pos.append(_vadd(pos[i], _vscale(vel_t[i], dt)))
             new_rot.append(_quat_integrate(rot[i], omega_t[i], dt))
+        vel_out, omega_out = list(vel_t), list(omega_t)
+
+        extras = None
+        if post_stage is not None:
+            new_pos, new_rot, vel_out, omega_out, extras = post_stage(dict(
+                pos=new_pos, rot=new_rot, vel=vel_out, omega=omega_out,
+                ovr=ovr_vals))
 
         def emit(vals, ncomp):
             return jnp.stack(
@@ -1168,8 +1186,10 @@ def _build_kernel(body, crows, contact_colors, tables, ovr_spec, dt,
 
         out_pos[...] = emit(new_pos, 3)
         out_rot[...] = emit(new_rot, 4)
-        out_vel[...] = emit(list(vel_t), 3)
-        out_omega[...] = emit(list(omega_t), 3)
+        out_vel[...] = emit(vel_out, 3)
+        out_omega[...] = emit(omega_out, 3)
+        if n_extra:
+            out_extra[...] = jnp.stack([_tile(x) for x in extras], 0)
 
     return kernel
 
@@ -1179,22 +1199,41 @@ def _build_kernel(body, crows, contact_colors, tables, ovr_spec, dt,
 # --------------------------------------------------------------------------
 
 
-def make_fused_substep(arch, settings, dt: float, motor_overrides):
-    """Returns `fused(state, motor_overrides) -> new_state`, or None when the
-    archetype/settings are outside the fused kernel's scope.  The returned
-    callable is per-scene; under vmap on TPU (or fused_substep="force") it
-    dispatches the whole-substep Pallas kernel per 1024-env tile."""
+def _should_build(settings):
     mode = getattr(settings, "fused_substep", "auto")
     if mode == "off":
         return None
     if mode == "auto" and jax.default_backend() != "tpu":
         return None
+    return mode
+
+
+def ovr_leaves(motor_overrides):
+    """Flatten a motor_overrides tuple-of-dicts into the kernel leaf order."""
+    leaves = []
+    if motor_overrides is not None:
+        for d in motor_overrides:
+            if not d:
+                continue
+            for key in sorted(d):
+                leaves.append(d[key])
+    return leaves
+
+
+def make_kernel_runner(arch, settings, dt: float, motor_overrides,
+                       post_stage=None, n_extra: int = 0):
+    """Build the raw batched kernel entry, or None when unsupported.
+
+    Returns `run(state, leaves, interpret) -> (new_state, extra)` where
+    `state` is a (B, ...) BodyState, `leaves` the flattened motor-override
+    arrays (B, rows), and `extra` a (B, n_extra) float32 array (None when
+    n_extra == 0).  Callers wrap this in their own custom_vmap (see
+    make_fused_substep below and learning/loco_env.py's fused env step)."""
     if support_reason(arch, settings) is not None:
         return None
     if dt <= joints_mod.DT_THRESHOLD:
         return None
 
-    # Override structure -> ordered input spec.
     order = {k: i for i, k in enumerate(joints_mod.JOINT_SOLVE_ORDER)}
     table_order = sorted(range(len(arch.joints)),
                          key=lambda k: order[arch.joints[k].kind])
@@ -1213,19 +1252,73 @@ def make_fused_substep(arch, settings, dt: float, motor_overrides):
     body, crows, contact_colors, tables = _extract_consts(arch)
     kernel = _build_kernel(body, crows, contact_colors, tables, ovr_spec, dt,
                            settings.solver_iterations,
-                           tuple(float(x) for x in settings.global_force_field))
+                           tuple(float(x)
+                                 for x in settings.global_force_field),
+                           post_stage=post_stage, n_extra=n_extra)
     n_in = 6 + len(ovr_spec)
     N = arch.num_bodies
 
-    def _ovr_leaves(mo):
-        leaves = []
-        if mo is not None:
-            for k, d in enumerate(mo):
-                if not d:
-                    continue
-                for key in sorted(d):
-                    leaves.append(d[key])
-        return leaves
+    def run(state, leaves, interpret):
+        B = state.pos.shape[0]
+        pad = (-B) % TILE_B
+        arrs = [state.pos, state.rot, state.vel, state.omega,
+                state.force, state.torque] + list(leaves)
+        if pad:
+            arrs = [jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
+                for x in arrs]
+        nblk = (B + pad) // TILE_B
+
+        def run_block(blk):
+            tiles = [_to_tiles(x) for x in blk]
+            out_shape = (
+                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((N, 4, SUBS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
+            )
+            if n_extra:
+                out_shape += (jax.ShapeDtypeStruct(
+                    (n_extra, SUBS, LANES), jnp.float32),)
+            outs = pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+                out_specs=tuple(
+                    pl.BlockSpec(memory_space=pltpu.VMEM)
+                    for _ in range(len(out_shape))),
+                interpret=interpret,
+            )(*tiles)
+            return tuple(_from_tiles(o) for o in outs)
+
+        if nblk == 1:
+            outs = run_block(arrs)
+        else:
+            chunked = [x.reshape((nblk, TILE_B) + x.shape[1:]) for x in arrs]
+            outs = jax.lax.map(run_block, chunked)
+            outs = tuple(x.reshape((nblk * TILE_B,) + x.shape[2:])
+                         for x in outs)
+        outs = tuple(x[:B] for x in outs)
+        pos, rot, vel, omg = outs[:4]
+        new_state = state.replace(pos=pos, rot=rot, vel=vel, omega=omg,
+                                  force=jnp.zeros_like(state.force),
+                                  torque=jnp.zeros_like(state.torque))
+        return new_state, (outs[4] if n_extra else None)
+
+    return run
+
+
+def make_fused_substep(arch, settings, dt: float, motor_overrides):
+    """Returns `fused(state, motor_overrides) -> new_state`, or None when the
+    archetype/settings are outside the fused kernel's scope.  The returned
+    callable is per-scene; under vmap on TPU (or fused_substep="force") it
+    dispatches the whole-substep Pallas kernel per 1024-env tile."""
+    mode = _should_build(settings)
+    if mode is None:
+        return None
+    run = make_kernel_runner(arch, settings, dt, motor_overrides)
+    if run is None:
+        return None
 
     def _rebuild_overrides(leaves):
         if motor_overrides is None:
@@ -1247,48 +1340,6 @@ def make_fused_substep(arch, settings, dt: float, motor_overrides):
             allow_fused=False)
         return new_state
 
-    def _run_kernel(state, leaves, interpret):
-        B = state.pos.shape[0]
-        pad = (-B) % TILE_B
-        arrs = [state.pos, state.rot, state.vel, state.omega,
-                state.force, state.torque] + list(leaves)
-        if pad:
-            arrs = [jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
-                for x in arrs]
-        nblk = (B + pad) // TILE_B
-
-        def run_block(blk):
-            tiles = [_to_tiles(x) for x in blk]
-            out_shape = (
-                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((N, 4, SUBS, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((N, 3, SUBS, LANES), jnp.float32),
-            )
-            outs = pl.pallas_call(
-                kernel,
-                out_shape=out_shape,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-                out_specs=tuple(
-                    pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
-                interpret=interpret,
-            )(*tiles)
-            return tuple(_from_tiles(o) for o in outs)
-
-        if nblk == 1:
-            pos, rot, vel, omg = run_block(arrs)
-        else:
-            chunked = [x.reshape((nblk, TILE_B) + x.shape[1:]) for x in arrs]
-            pos, rot, vel, omg = jax.lax.map(run_block, chunked)
-            pos, rot, vel, omg = (
-                x.reshape((nblk * TILE_B,) + x.shape[2:])
-                for x in (pos, rot, vel, omg))
-        pos, rot, vel, omg = (x[:B] for x in (pos, rot, vel, omg))
-        return state.replace(pos=pos, rot=rot, vel=vel, omega=omg,
-                             force=jnp.zeros_like(state.force),
-                             torque=jnp.zeros_like(state.torque))
-
     @custom_vmap
     def fused(state, *leaves):
         return _fallback_one(state, *leaves)
@@ -1307,11 +1358,11 @@ def make_fused_substep(arch, settings, dt: float, motor_overrides):
         if not on_tpu and mode != "force":
             out = jax.vmap(_fallback_one)(state_b, *leaves_b)
         else:
-            out = _run_kernel(state_b, leaves_b, interpret=not on_tpu)
+            out, _ = run(state_b, leaves_b, interpret=not on_tpu)
         batched_out = jax.tree_util.tree_map(lambda _: True, out)
         return out, batched_out
 
     def runner(state, mo):
-        return fused(state, *_ovr_leaves(mo))
+        return fused(state, *ovr_leaves(mo))
 
     return runner

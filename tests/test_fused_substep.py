@@ -32,13 +32,16 @@ def _rollout(fused, steps=2, batch=2, iters=4):
         act = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, ACTION_SIZE)),
                           jnp.float32)
         obs, st, reward, done = step(st, act)
-    return st.bodies, reward
+    return st.bodies, reward, obs
 
 
 @pytest.mark.slow
 def test_fused_substep_matches_regular_path():
-    ref, r_ref = _rollout("off")
-    got, r_got = _rollout("force")  # interpret-mode kernel on CPU
+    """With fused_substep="force" the WHOLE env step (physics + obs/reward/
+    fall/auto-reset) runs as the interpret-mode kernel — parity covers the
+    env-fused post stage, not just the physics substep."""
+    ref, r_ref, o_ref = _rollout("off")
+    got, r_got, o_got = _rollout("force")  # interpret-mode kernel on CPU
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
                                atol=5e-6)
     np.testing.assert_allclose(np.asarray(got.rot), np.asarray(ref.rot),
@@ -49,6 +52,8 @@ def test_fused_substep_matches_regular_path():
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
                                atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_got), np.asarray(o_ref),
+                               atol=5e-5)
 
 
 def test_auto_mode_stays_off_cpu():
