@@ -22,6 +22,7 @@ import optax
 from flax import struct
 
 from .loco_env import LocoEnv
+from .monitor import EpisodeStats, init_stats, update_stats
 from .networks import ActorCritic, gaussian_entropy, gaussian_logp, sample_action
 
 
@@ -50,6 +51,10 @@ class TrainState(NamedTuple):
     env_state: Any
     last_obs: jnp.ndarray
     rng: jnp.ndarray
+    # Per-episode return/length accumulators (reference: VecMonitor,
+    # learning/vec_monitor.py:14) — folded from each rollout inside the
+    # jitted iteration so episode stats survive across iterations.
+    stats: EpisodeStats
 
 
 class Transition(NamedTuple):
@@ -83,7 +88,8 @@ def make_ppo(env: LocoEnv, config: PPOConfig = PPOConfig(),
         )
         params = network.init(k_net, obs[:1])
         opt_state = tx.init(params)
-        return TrainState(params, opt_state, env_state, obs, k_train)
+        return TrainState(params, opt_state, env_state, obs, k_train,
+                          init_stats(config.num_envs))
 
     def policy_step(params, obs, key):
         mean, log_std, value = network.apply(params, obs)
@@ -179,6 +185,13 @@ def make_ppo(env: LocoEnv, config: PPOConfig = PPOConfig(),
         )
 
         pg_loss, vf_loss, ent = aux
+
+        # 4. Fold the rollout's rewards/dones into the episode monitor.
+        stats, _ = jax.lax.scan(
+            lambda s, rd: (update_stats(s, rd[0], rd[1]), None),
+            state.stats, (traj.reward, traj.done),
+        )
+
         metrics = {
             "reward_mean": traj.reward.mean(),
             "episode_done_rate": traj.done.mean(),
@@ -187,6 +200,7 @@ def make_ppo(env: LocoEnv, config: PPOConfig = PPOConfig(),
             "entropy": ent.mean(),
             "value_mean": traj.value.mean(),
         }
-        return TrainState(params, opt_state, env_state, last_obs, rng), metrics
+        return TrainState(params, opt_state, env_state, last_obs, rng,
+                          stats), metrics
 
     return init, jax.jit(train_iteration), network.apply

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..learning.loco_env import LocoEnv
+from ..learning.monitor import EpisodeStats
 from ..learning.ppo import PPOConfig, TrainState, make_ppo
 
 AXIS = "data"
@@ -27,6 +28,25 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     import numpy as np
     devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.array(devices).reshape(-1), (AXIS,))
+
+
+def train_state_spec() -> TrainState:
+    """PartitionSpec tree for a distributed TrainState: params/optimizer
+    replicated, env state + per-env monitor accumulators sharded along the
+    env axis, RNG per-shard; scalar episode aggregates replicated (kept so
+    by psum-ing their per-shard deltas each iteration)."""
+    return TrainState(
+        params=P(),
+        opt_state=P(),
+        env_state=P(AXIS),
+        last_obs=P(AXIS),
+        rng=P(AXIS),
+        stats=EpisodeStats(
+            running_return=P(AXIS), running_length=P(AXIS),
+            episode_count=P(), return_sum=P(), length_sum=P(),
+            best_return=P(),
+        ),
+    )
 
 
 def make_distributed_ppo(env: LocoEnv, config: PPOConfig, mesh: Mesh):
@@ -39,13 +59,7 @@ def make_distributed_ppo(env: LocoEnv, config: PPOConfig, mesh: Mesh):
     config = config.replace(axis_name=AXIS)
     init_local, train_local, policy_apply = make_ppo(env, config)
 
-    state_spec = TrainState(
-        params=P(),
-        opt_state=P(),
-        env_state=P(AXIS),
-        last_obs=P(AXIS),
-        rng=P(AXIS),
-    )
+    state_spec = train_state_spec()
 
     def init(key):
         # One shared key for the network init (params must start identical on
@@ -73,7 +87,19 @@ def make_distributed_ppo(env: LocoEnv, config: PPOConfig, mesh: Mesh):
         metrics = jax.tree_util.tree_map(
             lambda x: jax.lax.pmean(x, AXIS), metrics
         )
-        return st._replace(rng=state.rng.at[0].set(st.rng)), metrics
+        # Scalar episode aggregates: old values are replicated, so summing
+        # every shard's local increment keeps them replicated-and-global.
+        old, new = state.stats, st.stats
+        stats = new.replace(
+            episode_count=old.episode_count + jax.lax.psum(
+                new.episode_count - old.episode_count, AXIS),
+            return_sum=old.return_sum + jax.lax.psum(
+                new.return_sum - old.return_sum, AXIS),
+            length_sum=old.length_sum + jax.lax.psum(
+                new.length_sum - old.length_sum, AXIS),
+            best_return=jax.lax.pmax(new.best_return, AXIS),
+        )
+        return st._replace(rng=state.rng.at[0].set(st.rng), stats=stats), metrics
 
     train = jax.jit(
         jax.shard_map(

@@ -39,7 +39,7 @@ if args.platform:
 import numpy as np
 
 from d3d12renderer_tpu.learning.loco_env import LocoEnv
-from d3d12renderer_tpu.learning.monitor import MonitorCSV, init_stats, update_stats
+from d3d12renderer_tpu.learning.monitor import MonitorCSV, summarize
 from d3d12renderer_tpu.learning.ppo import PPOConfig, make_ppo
 from d3d12renderer_tpu.utils.checkpoint import CheckpointManager
 
@@ -71,10 +71,14 @@ for it in range(args.iterations):
     if it % 5 == 0 or it == args.iterations - 1:
         dt = time.time() - t0
         sps = steps_per_iter * (it + 1) / dt
+        stats = jax.device_get(state.stats)
+        ep = summarize(stats)
         print(f"iter {it:4d}  reward/step {r:.3f}  "
+              f"ep-return {ep['mean_return']:.1f} ({int(ep['episodes'])} eps)  "
               f"done-rate {float(metrics['episode_done_rate']):.4f}  "
               f"vf_loss {float(metrics['vf_loss']):.4f}  "
               f"{sps:,.0f} env-steps/s")
+        monitor.write(steps_per_iter * (it + 1), stats)
         ckpts.save(it, state.params, metric=r)
 
 print(f"trained {args.iterations * steps_per_iter:,} env-steps "

@@ -87,8 +87,7 @@ def test_sharded_trainstate_checkpoint_roundtrip(tmp_path):
     and keep training: values equal, layout preserved, step usable."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from d3d12renderer_tpu.parallel.data_parallel import AXIS
-    from d3d12renderer_tpu.learning.ppo import TrainState
+    from d3d12renderer_tpu.parallel.data_parallel import AXIS, train_state_spec
     from d3d12renderer_tpu.utils.checkpoint import (
         load_pytree_sharded, save_pytree,
     )
@@ -103,10 +102,7 @@ def test_sharded_trainstate_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "ckpt.bin")
     save_pytree(path, state)
 
-    spec = TrainState(
-        params=P(), opt_state=P(), env_state=P(AXIS),
-        last_obs=P(AXIS), rng=P(AXIS),
-    )
+    spec = train_state_spec()
     shardings = jax.tree_util.tree_map(
         lambda p: NamedSharding(mesh, p), spec,
         is_leaf=lambda x: isinstance(x, P))
