@@ -98,6 +98,11 @@ class LocoEnv:
         # step is traced (jnp constant creation is staged under jit).
         self._obs0 = np.asarray(jax.device_get(
             self._get_obs(self._state0, jnp.zeros(ACTION_SIZE))))
+        # The fused whole-env-step runner is built once per instance:
+        # make_kernel_runner extracts archetype constants with host-side
+        # device_get syncs, which must not be paid on every step()/retrace.
+        self._fused_step_cache = None
+        self._fused_step_built = False
 
     # -- helpers -----------------------------------------------------------
 
@@ -325,6 +330,14 @@ class LocoEnv:
         mode = sp._should_build(self.settings)
         if mode is None:
             return None
+        # The fused kernel integrates ONE substep of h = 1/FRAME_RATE.  The
+        # fallback _step_core substeps at settings.frame_rate (physics_step:
+        # num_substeps = round(dt * frame_rate), h = 1/frame_rate), so the
+        # two paths only compute identical dynamics when the physics rate
+        # equals the 60 Hz control rate.  Refuse to build otherwise rather
+        # than silently integrating different dynamics per backend.
+        if float(self.settings.frame_rate) != float(FRAME_RATE):
+            return None
         template = self._motor_overrides(jnp.zeros(ACTION_SIZE))
         run = sp.make_kernel_runner(
             self.arch, self.settings, 1.0 / FRAME_RATE, template,
@@ -405,7 +418,10 @@ class LocoEnv:
             action - env_state.last_action
         )
         bodies = self._maybe_poke(env_state.bodies, poke_key)
-        fused = self._fused_env_step()
+        if not self._fused_step_built:
+            self._fused_step_cache = self._fused_env_step()
+            self._fused_step_built = True
+        fused = self._fused_step_cache
         if fused is not None:
             bodies, obs, reward, done = fused(bodies, smoothed)
         else:

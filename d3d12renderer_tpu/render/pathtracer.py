@@ -394,7 +394,14 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             pls = scene.point_lights
             nl = pls.position.shape[0]
             key, k_li, k_sp = jax.random.split(key, 3)
-            li = jax.random.randint(k_li, (r,), 0, nl)
+            # Uniform pick over the VALID lights only: a padded table would
+            # otherwise waste samples on invalid rows.  rank -> index of the
+            # rank-th valid light via the running count.
+            n_valid = jnp.maximum(jnp.sum(pls.valid.astype(jnp.int32)), 1)
+            rank = jax.random.randint(k_li, (r,), 0, n_valid)
+            li = jnp.searchsorted(jnp.cumsum(pls.valid.astype(jnp.int32)),
+                                  rank + 1)
+            li = jnp.clip(li, 0, nl - 1)
             sp = m.noz(jax.random.normal(k_sp, (r, 3)))
             lp = pls.position[li] + sp * settings.point_light_radius
             to_l = lp - p
@@ -409,7 +416,7 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             # direction, doubling the direction pdf.
             s = jnp.minimum(settings.point_light_radius / dist, 1.0)
             omega = 2.0 * jnp.pi * (1.0 - jnp.sqrt(jnp.maximum(1 - s * s, 0.0)))
-            pdf_l = 1.0 / jnp.maximum(0.5 * omega * nl, 1e-8)
+            pdf_l = 1.0 / jnp.maximum(0.5 * omega * n_valid, 1e-8)
             facing_pt = jnp.sum(n * l_pt, -1) > 0
             shadowed_pt = bvh_mod.any_hit(
                 scene.bvh, p, l_pt, t_max=jnp.maximum(dist - 1e-3, 1e-4),

@@ -501,11 +501,13 @@ def ssr(color, view_pos, normal, roughness,
         z_a, z_b = z_at(t), z_at(t_exit)
         z_far = jnp.maximum(z_a, z_b)
         in_front = z_far < zmin + 0.01
-        at_end = t_exit >= t_max
         # mip 0 crossing: hit if the ray depth lands within [zmin, +thick].
+        # Crossings in the final cell (t_exit clamped to t_max) count too —
+        # rejecting them drops legitimate hits one cell before the viewport
+        # edge / max-distance clip.
         hit_now = (mip == 0) & ~in_front \
             & (z_far >= zmin) & (jnp.minimum(z_a, z_b) <= zmin + settings.thickness) \
-            & ~at_end & ~found
+            & ~found
         # Advance when the cell is empty, or when a mip-0 crossing was too
         # deep to count (skip behind the surface instead of stalling).
         advance = in_front | ((mip == 0) & ~hit_now)
