@@ -276,24 +276,144 @@ def sphere_vs_box(c, r, box_center, box_rot, half):
     return normal, point[..., None, :], depth[..., None], hit[..., None]
 
 
+def _closest_t_segment_box(a0, a1, half, iters=24):
+    """Exact param t* of the segment point closest to the origin-centered box.
+
+    a0/a1 (P,3) in box-local coordinates.  dist(seg(t), box) is convex in t
+    (distance-to-convex-set composed with an affine map), so its derivative
+    g(t) = (p(t) - clamp(p(t))) . d is monotone — bisect it in a fixed loop
+    (vectorizes over the pair axis; the reference's scalar equivalent is the
+    capsule branch of src/physics/collision_narrow.cpp)."""
+    d = a1 - a0
+
+    def g(t):
+        p = a0 + d * t[..., None]
+        delta = p - jnp.clip(p, -half, half)
+        return m.dot(delta, d)
+
+    lo = jnp.zeros(a0.shape[:-1], a0.dtype)
+    hi = jnp.ones(a0.shape[:-1], a0.dtype)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        gm = g(mid)
+        lo = jnp.where(gm < 0.0, mid, lo)
+        hi = jnp.where(gm < 0.0, hi, mid)
+    t = 0.5 * (lo + hi)
+    # Endpoint minima: g(0) >= 0 -> t*=0; g(1) <= 0 -> t*=1.
+    t = jnp.where(g(jnp.zeros_like(t)) >= 0.0, 0.0, t)
+    return jnp.where(g(jnp.ones_like(t)) <= 0.0, 1.0, t)
+
+
 def capsule_vs_box(p0, p1, r, box_center, box_rot, half):
-    """Approximate: 3 probe spheres (endpoints + segment point closest to box center)."""
-    mid = closest_point_segment(box_center, p0, p1)
+    """Exact capsule-vs-box manifold (replaces the round-4 3-probe-sphere
+    approximation; reference: the dedicated clipped capsule manifolds of
+    src/physics/collision_narrow.cpp:374-1558).
+
+    Hit/no-hit and the deepest contact are EXACT: the closest segment point
+    to the box is found by bisecting the convex distance derivative, and
+    probed with the exact sphere-box test.  Manifold construction:
+
+      * probes at both endpoints and at t* (agreeing-normal probes only),
+      * when the contact normal aligns with a box face, the segment is
+        additionally CLIPPED against that face's rectangle (Liang-Barsky)
+        and the two clipped endpoints join the candidate set with their
+        linear depths — the 2-point line manifold that makes a capsule
+        resting on a face (or lying along an edge) stack stably instead of
+        jittering on probe points.
+
+    Normal convention: A(capsule) -> B(box).
+    """
+    a0 = m.quat_inv_rotate(box_rot, p0 - box_center)   # box-local
+    a1 = m.quat_inv_rotate(box_rot, p1 - box_center)
+    t_star = _closest_t_segment_box(a0, a1, half)
+    p_star = p0 + (p1 - p0) * t_star[..., None]
+
+    # Exact single-point probes (world space).
     normals, points, depths, hits = [], [], [], []
-    for probe in (p0, p1, mid):
+    for probe in (p0, p1, p_star):
         n, pt, d, h = sphere_vs_box(probe, r, box_center, box_rot, half)
         normals.append(n)
         points.append(pt[..., 0, :])
         depths.append(d[..., 0])
         hits.append(h[..., 0])
-    dep = jnp.stack(depths, axis=-1)
-    msk = jnp.stack(hits, axis=-1)
-    best = jnp.argmax(jnp.where(msk, dep, -jnp.inf), axis=-1)
+    dep3 = jnp.stack(depths, axis=-1)                  # (P,3)
+    msk3 = jnp.stack(hits, axis=-1)
+    best = jnp.argmax(jnp.where(msk3, dep3, -jnp.inf), axis=-1)
     normal = jnp.take_along_axis(
         jnp.stack(normals, axis=-2), best[..., None, None], axis=-2
     )[..., 0, :]
-    pts, dep, msk = _pad_points(points, depths, hits)
-    # keep only points whose own normal roughly agrees with the manifold normal
+    # Drop probes whose own normal disagrees with the manifold normal
+    # (corner probes of a face-resting capsule would otherwise add
+    # sideways-pushing points).
+    agree = jnp.einsum(
+        "...kj,...j->...k", jnp.stack(normals, axis=-2), normal) > 0.94
+    msk3 = msk3 & agree
+
+    # Face-clip candidates: normal in box-local, pick the dominant axis.
+    n_local = m.quat_inv_rotate(box_rot, -normal)      # box -> capsule dir
+    k = jnp.argmax(jnp.abs(n_local), axis=-1)          # (P,)
+    s = jnp.sign(jnp.take_along_axis(n_local, k[..., None], axis=-1))[..., 0]
+    s = jnp.where(s == 0.0, 1.0, s)
+    axis_k = jnp.take_along_axis(n_local, k[..., None], axis=-1)[..., 0]
+    is_face = jnp.abs(axis_k) > 0.94                   # ~20 deg tolerance
+
+    u_axis = (k + 1) % 3
+    v_axis = (k + 2) % 3
+
+    def comp(vec, idx):
+        return jnp.take_along_axis(vec, idx[..., None], axis=-1)[..., 0]
+
+    h_k = comp(half, k)
+    h_u = comp(half, u_axis)
+    h_v = comp(half, v_axis)
+    u0, u1 = comp(a0, u_axis), comp(a1, u_axis)
+    v0, v1 = comp(a0, v_axis), comp(a1, v_axis)
+    z0, z1 = comp(a0, k) * s, comp(a1, k) * s
+
+    # Liang-Barsky clip of the (u, v) segment against the face footprint
+    # |u|<=h_u, |v|<=h_v.  Beyond the footprint the closest box feature is
+    # an edge whose contact normal differs from the face normal, so those
+    # points stay with the exact probes instead of the face manifold.
+    t_lo = jnp.zeros_like(u0)
+    t_hi = jnp.ones_like(u0)
+    for c0, c1, lim in ((u0, u1, h_u), (v0, v1, h_v)):
+        dcomp = c1 - c0
+        dsafe = jnp.where(jnp.abs(dcomp) < 1e-12, 1e-12, dcomp)
+        ta = (-lim - c0) / dsafe
+        tb = (lim - c0) / dsafe
+        enter = jnp.minimum(ta, tb)
+        exit_ = jnp.maximum(ta, tb)
+        par_in = jnp.abs(dcomp) < 1e-12
+        inside0 = jnp.abs(c0) <= lim
+        t_lo = jnp.where(par_in, jnp.where(inside0, t_lo, 1.0),
+                         jnp.maximum(t_lo, enter))
+        t_hi = jnp.where(par_in, jnp.where(inside0, t_hi, 0.0),
+                         jnp.minimum(t_hi, exit_))
+    clip_ok = t_hi >= t_lo
+
+    def face_point(t):
+        """Clipped candidate at param t: world point + linear depth."""
+        z = z0 + (z1 - z0) * t
+        depth = r - (z - h_k)                          # sdist = s*z - h_k
+        seg_w = p0 + (p1 - p0) * t[..., None]
+        # Midway between capsule surface and face plane along the normal.
+        pt = seg_w + normal * (0.5 * (z - h_k + r))[..., None] * jnp.where(
+            is_face, 1.0, 0.0)[..., None]
+        return pt, depth
+
+    fp0, fd0 = face_point(t_lo)
+    fp1, fd1 = face_point(t_hi)
+    fmask0 = is_face & clip_ok & (fd0 >= 0.0)
+    fmask1 = is_face & clip_ok & (fd1 >= 0.0) & (t_hi > t_lo + 1e-6)
+
+    any_hit = jnp.any(msk3, axis=-1)
+    pts, dep, msk = _pad_points(
+        points + [fp0, fp1],
+        depths + [fd0, fd1],
+        [h & any_hit for h in
+         (msk3[..., 0], msk3[..., 1], msk3[..., 2])] + [
+            fmask0 & any_hit, fmask1 & any_hit],
+    )
     return normal, pts, dep, msk
 
 
