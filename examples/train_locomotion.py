@@ -23,6 +23,11 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--iterations", type=int, default=20)
 parser.add_argument("--envs", type=int, default=128)
 parser.add_argument("--rollout", type=int, default=64)
+parser.add_argument("--lr", type=float, default=None,
+                    help="override the reference learning rate (2.5e-5, "
+                         "tuned for 16-env minibatches; large on-chip "
+                         "batches can take more)")
+parser.add_argument("--ent-coef", type=float, default=None)
 parser.add_argument("--platform", default=None)
 parser.add_argument("--mesh", type=int, default=0, help="data-parallel devices")
 parser.add_argument("--logdir", default="tmp/loco")
@@ -47,6 +52,10 @@ os.makedirs(args.logdir, exist_ok=True)
 env = LocoEnv()
 config = PPOConfig(num_envs=args.envs, rollout_steps=args.rollout,
                    minibatches=8, epochs=4)
+if args.lr is not None:
+    config = config.replace(learning_rate=args.lr)
+if args.ent_coef is not None:
+    config = config.replace(ent_coef=args.ent_coef)
 
 if args.mesh > 1:
     from d3d12renderer_tpu.parallel.data_parallel import (
@@ -65,9 +74,12 @@ monitor = MonitorCSV(os.path.join(args.logdir, "episodes.csv"))
 
 steps_per_iter = args.envs * args.rollout * max(args.mesh, 1)
 t0 = time.time()
+iter_times = []
 for it in range(args.iterations):
+    t_it = time.time()
     state, metrics = train_iteration(state)
-    r = float(metrics["reward_mean"])
+    r = float(metrics["reward_mean"])  # device sync: bounds the iteration
+    iter_times.append(time.time() - t_it)
     if it % 5 == 0 or it == args.iterations - 1:
         dt = time.time() - t0
         sps = steps_per_iter * (it + 1) / dt
@@ -83,6 +95,16 @@ for it in range(args.iterations):
 
 print(f"trained {args.iterations * steps_per_iter:,} env-steps "
       f"in {time.time() - t0:.1f}s; checkpoints in {args.logdir}")
+if len(iter_times) > 3:
+    # Steady-state throughput: drop the compile iteration and report the
+    # median-of-rest (robust to tunnel hiccups), the number BASELINE's
+    # "env-steps/s incl. updates" target refers to.
+    import statistics
+    steady = sorted(iter_times[1:])
+    med = statistics.median(steady)
+    print(f"steady-state: {steps_per_iter / med:,.0f} env-steps/s incl. "
+          f"updates (median iter {med * 1e3:.0f} ms; "
+          f"best {steps_per_iter / steady[0]:,.0f}/s)")
 
 if args.eval_render:
     from PIL import Image
