@@ -239,7 +239,27 @@ def _visit_bits(n_tiles: int, n_groups: int) -> Tuple[int, int, int]:
     return tile_bits, q_bits, group_bits
 
 
-def visit_plan(tables: FrameTables, width: int, height: int):
+def geometric_needed(tables: FrameTables, width: int, height: int):
+    """(n_tiles, G) bool: group's screen rect overlaps the tile."""
+    ntx, nty = width // TILE_X, height // TILE_Y
+    tx = jnp.arange(ntx, dtype=jnp.float32) * TILE_X
+    ty = jnp.arange(nty, dtype=jnp.float32) * TILE_Y
+    tx0 = jnp.tile(tx, nty)[:, None]                    # (n_tiles, 1)
+    ty0 = jnp.repeat(ty, ntx)[:, None]
+    r = tables.rect                                     # (4, G) rows
+    return ((r[0][None, :] < tx0 + TILE_X) & (r[2][None, :] > tx0)
+            & (r[1][None, :] < ty0 + TILE_Y) & (r[3][None, :] > ty0)
+            & (tables.qhi[None, :] > 0.0))              # (n_tiles, G)
+
+
+# Safety margin on occlusion-feedback culling: a group is skipped only when
+# its conservative max q is BELOW the tile's min resolved q by this factor
+# (guards the qhi == qmin equality case in f32).
+_FB_MARGIN = 1.0 - 1e-5
+
+
+def visit_plan(tables: FrameTables, width: int, height: int,
+               needed=None):
     """Per-tile front-to-back visit lists.
 
     Returns (packed, counts, scale, overflow): packed (n_tiles*VISIT_CAP +
@@ -255,14 +275,8 @@ def visit_plan(tables: FrameTables, width: int, height: int):
     _, q_bits, group_bits = _visit_bits(n_tiles, n_groups)
     qmax_q = (1 << q_bits) - 1
 
-    tx = jnp.arange(ntx, dtype=jnp.float32) * TILE_X
-    ty = jnp.arange(nty, dtype=jnp.float32) * TILE_Y
-    tx0 = jnp.tile(tx, nty)[:, None]                    # (n_tiles, 1)
-    ty0 = jnp.repeat(ty, ntx)[:, None]
-    r = tables.rect                                     # (4, G) rows
-    needed = ((r[0][None, :] < tx0 + TILE_X) & (r[2][None, :] > tx0)
-              & (r[1][None, :] < ty0 + TILE_Y) & (r[3][None, :] > ty0)
-              & (tables.qhi[None, :] > 0.0))            # (n_tiles, G)
+    if needed is None:
+        needed = geometric_needed(tables, width, height)
 
     finite = jnp.isfinite(tables.qhi) & (tables.qhi > 0)
     scale = jnp.maximum(jnp.max(jnp.where(finite, tables.qhi, 0.0)), 1e-30) \
@@ -353,20 +367,20 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
     pl.when((qq == 0) | (jnp.min(q_ref[:, 0:1]) < bound))(_visit)
 
 
-def rasterize(tables: FrameTables, width: int, height: int,
-              jitter=(0.5, 0.5), interpret: bool = False):
-    """Rasterize the frame tables -> per-pixel (q, winning tri id).
+def _rasterize_tiles(tables: FrameTables, width: int, height: int,
+                     jitter=(0.5, 0.5), interpret: bool = False,
+                     needed=None):
+    """One rasterization pass -> TILE-MAJOR per-pixel (q, win, overflow).
 
-    Returns (q, tri) each (height*width,) in ROW-MAJOR pixel order (q = the
-    winner's interpolated depth attribute, 0 where no triangle covers the
-    pixel; tri = -1 there).  width/height must be TILE multiples (the
-    callers pad)."""
+    `needed` optionally restricts the (tile, group) visit mask (occlusion
+    feedback); None means the full geometric mask."""
     assert width % TILE_X == 0 and height % TILE_Y == 0, (width, height)
     ntx, nty = width // TILE_X, height // TILE_Y
     n_tiles = ntx * nty
     n_groups = tables.qhi.shape[0]
     _, q_bits, group_bits = _visit_bits(n_tiles, n_groups)
-    packed, counts, scale, overflow = visit_plan(tables, width, height)
+    packed, counts, scale, overflow = visit_plan(tables, width, height,
+                                                 needed=needed)
 
     pad_t = (-n_tiles) % SLAB_TILES
     counts_p = jnp.pad(counts, (0, pad_t))
@@ -423,21 +437,82 @@ def rasterize(tables: FrameTables, width: int, height: int,
     q, win = jax.lax.map(one_slab, jnp.arange(n_slabs))
     q = q.reshape(-1)[:n_tiles * PX]
     win = win.reshape(-1)[:n_tiles * PX]
-    # Tile-major (ty, tx, y_in, x_in) -> row-major, as pure reshapes.
-    def unscramble(x):
-        return (x.reshape(nty, ntx, TILE_Y, TILE_X)
-                .transpose(0, 2, 1, 3).reshape(height * width))
-    return unscramble(q), unscramble(win), overflow
+    return q, win, overflow
+
+
+def _unscramble(x, width, height):
+    """Tile-major (ty, tx, y_in, x_in) -> row-major, as pure reshapes."""
+    ntx, nty = width // TILE_X, height // TILE_Y
+    return (x.reshape(nty, ntx, TILE_Y, TILE_X)
+            .transpose(0, 2, 1, 3).reshape(height * width))
+
+
+def rasterize(tables: FrameTables, width: int, height: int,
+              jitter=(0.5, 0.5), interpret: bool = False,
+              tile_qmin=None):
+    """Rasterize the frame tables -> per-pixel (q, winning tri id).
+
+    Returns (q, tri, overflow, tile_qmin_out): q/tri (height*width,) in
+    ROW-MAJOR pixel order (q = the winner's interpolated depth attribute, 0
+    where no triangle covers the pixel; tri = -1 there); tile_qmin_out
+    (n_tiles,) is the per-tile min resolved q, the occlusion-feedback input
+    for the NEXT frame.  width/height must be TILE multiples (callers pad).
+
+    `tile_qmin` (previous frame's tile_qmin_out, or None) enables
+    occlusion-culled visiting with an EXACT repair pass: phase 1 skips
+    groups whose conservative max q lies below the previous tile minimum;
+    phase 2 re-rasterizes any tile where a skipped group could still beat
+    the phase-1 result (the test uses phase-1 depths, so the combined
+    result is exact for ANY camera/scene motion — with a static view,
+    phase 2 is empty and the frame costs only the visible visits).  This
+    is the TPU analogue of GPU two-phase HiZ occlusion culling; the
+    reference renders Sponza brute-force (hardware raster), so this is a
+    strict capability add."""
+    ntx, nty = width // TILE_X, height // TILE_Y
+    n_tiles = ntx * nty
+    needed_geo = geometric_needed(tables, width, height)
+    if tile_qmin is None:
+        q, win, overflow = _rasterize_tiles(tables, width, height, jitter,
+                                            interpret, needed=needed_geo)
+        qmin = q.reshape(n_tiles, PX).min(-1)
+        return (_unscramble(q, width, height),
+                _unscramble(win, width, height), overflow, qmin)
+
+    qhi = tables.qhi[None, :]
+    cull1 = qhi <= tile_qmin[:, None] * _FB_MARGIN
+    q1, win1, ovf1 = _rasterize_tiles(tables, width, height, jitter,
+                                      interpret,
+                                      needed=needed_geo & ~cull1)
+    qmin1 = q1.reshape(n_tiles, PX).min(-1)
+    # Exactness repair: any culled group that could still beat the tile's
+    # CURRENT min resolved depth forces a from-scratch re-raster of that
+    # tile against every group passing the current bound.
+    residual = needed_geo & cull1 & (qhi > qmin1[:, None] * _FB_MARGIN)
+    dirty = jnp.any(residual, axis=1)
+    needed2 = (needed_geo & (qhi > qmin1[:, None] * _FB_MARGIN)
+               & dirty[:, None])
+    q2, win2, ovf2 = _rasterize_tiles(tables, width, height, jitter,
+                                      interpret, needed=needed2)
+    sel = jnp.repeat(dirty, PX)
+    q = jnp.where(sel, q2, q1)
+    win = jnp.where(sel, win2, win1)
+    qmin = q.reshape(n_tiles, PX).min(-1)
+    return (_unscramble(q, width, height),
+            _unscramble(win, width, height), ovf1 + ovf2, qmin)
 
 
 def closest_hit_raster(bvh, camera, width: int, height: int,
                        jitter=(0.5, 0.5), interpret: bool = False,
-                       tables: Optional[FrameTables] = None):
+                       tables: Optional[FrameTables] = None,
+                       tile_qmin=None):
     """Primary-visibility drop-in for render/bvh.closest_hit on pinhole
     cameras: returns {t, tri, uv, hit} (row-major pixels) computed by the
     tile-binned rasterizer.  t and barycentrics are recomputed from the
     winner's plane row / closed form so the G-buffer math downstream is
-    identical to the ray path's."""
+    identical to the ray path's.
+
+    `tile_qmin`: previous frame's res["tile_qmin"] enables exact two-phase
+    occlusion-culled visiting (see rasterize)."""
     wp = width + ((-width) % TILE_X)
     hp = height + ((-height) % TILE_Y)
     if tables is None:
@@ -447,8 +522,9 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
         mat, attr = perspective_rows(camera, width, height)
         tables = build_frame_tables(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
                                     bvh.tri_valid, mat, attr, wp, hp)
-    q, tri, overflow = rasterize(tables, wp, hp, jitter=jitter,
-                                 interpret=interpret)
+    q, tri, overflow, qmin_out = rasterize(tables, wp, hp, jitter=jitter,
+                                           interpret=interpret,
+                                           tile_qmin=tile_qmin)
     if wp != width or hp != height:
         q = q.reshape(hp, wp)[:height, :width].reshape(-1)
         tri = tri.reshape(hp, wp)[:height, :width].reshape(-1)
@@ -486,4 +562,4 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
     v = jnp.sum(p * rows[:, 4:7], -1) + rows[:, 7]
     uv = jnp.where(hit[:, None], jnp.stack([u, v], -1), 0.0)
     return {"t": t, "tri": tri, "uv": uv, "hit": hit,
-            "overflow": overflow}
+            "overflow": overflow, "tile_qmin": qmin_out}

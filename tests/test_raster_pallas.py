@@ -138,3 +138,36 @@ def test_visit_overflow_counter():
     _, counts, _, overflow = rp.visit_plan(tables, w, h)
     assert int(counts.min()) >= 1
     assert int(overflow) >= 0
+
+
+def test_occlusion_feedback_exact():
+    """Two-phase occlusion feedback must be EXACT: results with feedback
+    (own, stale-from-other-camera, or garbage) equal the no-feedback pass."""
+    scene = mesh_mod.sphere_grid_scene(3, 8)
+    w, h = 128, 64
+    cam = look_at((0.0, 1.5, -6.0), (0.0, 1.0, 0.0),
+                  v_fov=math.radians(60), aspect=w / h)
+    cam2 = look_at((4.0, 2.5, -5.0), (0.0, 1.0, 0.0),
+                   v_fov=math.radians(60), aspect=w / h)
+    b = bvh_mod.build_bvh(scene)
+    base = rp.closest_hit_raster(b, cam, w, h, interpret=True)
+    # Static case: feed back this frame's own tile_qmin.
+    again = rp.closest_hit_raster(b, cam, w, h, interpret=True,
+                                  tile_qmin=base["tile_qmin"])
+    np.testing.assert_array_equal(np.asarray(base["tri"]),
+                                  np.asarray(again["tri"]))
+    # Moving case: feedback computed from a very different view.
+    stale = rp.closest_hit_raster(b, cam2, w, h, interpret=True)
+    moved = rp.closest_hit_raster(b, cam, w, h, interpret=True,
+                                  tile_qmin=stale["tile_qmin"])
+    np.testing.assert_array_equal(np.asarray(base["tri"]),
+                                  np.asarray(moved["tri"]))
+    np.testing.assert_allclose(np.asarray(base["t"])[np.asarray(base["hit"])],
+                               np.asarray(moved["t"])[np.asarray(moved["hit"])],
+                               rtol=1e-6)
+    # Adversarial garbage feedback (too-near bound everywhere).
+    garbage = jnp.full_like(base["tile_qmin"], 1e6)
+    adv = rp.closest_hit_raster(b, cam, w, h, interpret=True,
+                                tile_qmin=garbage)
+    np.testing.assert_array_equal(np.asarray(base["tri"]),
+                                  np.asarray(adv["tri"]))
