@@ -134,20 +134,21 @@ def ortho_rows(right, down, forward, origin, width, height, extent_x,
         attr.astype(jnp.float32)
 
 
-def build_frame_tables(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
-                       width: int, height: int) -> FrameTables:
-    """Project all triangles and build the per-frame plane + binning tables.
+def _project_planes(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
+                    width: int, height: int):
+    """Shared per-tri projection: plane components + screen rect + max-q.
 
     Pure XLA, ~40 flops/tri.  All math runs in component-ROW layout (every
     array is (T,) with triangles on lanes): (T, 3)-shaped intermediates tile
     as (8, 128) with 42x lane padding on TPU and measured ~25 ms/frame for
     this function — rows cost nothing.  Degenerate or edge-on triangles
     produce NaN/inf planes which fail every in-kernel compare (the same
-    IEEE trick the ray kernel uses for padding rows)."""
-    t = tri_v0.shape[0]
-    pad = (-t) % GROUP
-    f32 = jnp.float32
+    IEEE trick the ray kernel uses for padding rows).
 
+    Returns (e0, e1, e2, qp, x0, y0, x1, y1, q_tri): e*/qp are 3-lists of
+    (T,) plane components; rect/max-q are (T,) with invalid tris pushed to
+    empty rects (+inf/-inf) and q_tri = -inf."""
+    f32 = jnp.float32
     v0 = tri_v0.astype(f32).T                                  # (3, T) rows
     v1 = v0 + tri_e1.astype(f32).T
     v2 = v0 + tri_e2.astype(f32).T
@@ -180,17 +181,6 @@ def build_frame_tables(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
     e0, e1, e2 = plane(c12), plane(c20), plane(c01)
     qp = [a0 * e0[i] + a1 * e1[i] + a2 * e2[i] for i in range(3)]
 
-    # Pack to (8, 4*Tp): lane (g*4 + p)*128 + j, component rows 0..2.
-    tp = t + pad
-
-    def pack_comp(i):
-        rows = jnp.stack([e0[i], e1[i], e2[i], qp[i]])         # (4, T)
-        rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=jnp.nan)
-        return rows.reshape(4, tp // GROUP, GROUP).transpose(1, 0, 2).ravel()
-
-    tbl = jnp.stack([pack_comp(i) for i in range(3)])
-    tbl = jnp.pad(tbl, ((0, 5), (0, 0)))                       # (8, 4*Tp)
-
     # Conservative per-tri screen rect + max-q; any vertex at/behind the
     # camera plane makes the footprint unbounded -> full screen, q cap inf.
     ws = [h[2] for h in (h0, h1, h2)]
@@ -216,6 +206,29 @@ def build_frame_tables(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
     x1 = jnp.where(vrow, x1, -jnp.inf)
     y1 = jnp.where(vrow, y1, -jnp.inf)
     q_tri = jnp.where(vrow, q_tri, -jnp.inf)
+    return e0, e1, e2, qp, x0, y0, x1, y1, q_tri
+
+
+def build_frame_tables(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
+                       width: int, height: int) -> FrameTables:
+    """Project all triangles and build the per-frame plane + binning tables
+    at GROUP (128-tri) granularity (see build_pair_tables for the exact
+    per-tri binning used at content scale)."""
+    t = tri_v0.shape[0]
+    pad = (-t) % GROUP
+    e0, e1, e2, qp, x0, y0, x1, y1, q_tri = _project_planes(
+        tri_v0, tri_e1, tri_e2, tri_valid, mat, attr, width, height)
+
+    # Pack to (8, 4*Tp): lane (g*4 + p)*128 + j, component rows 0..2.
+    tp = t + pad
+
+    def pack_comp(i):
+        rows = jnp.stack([e0[i], e1[i], e2[i], qp[i]])         # (4, T)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=jnp.nan)
+        return rows.reshape(4, tp // GROUP, GROUP).transpose(1, 0, 2).ravel()
+
+    tbl = jnp.stack([pack_comp(i) for i in range(3)])
+    tbl = jnp.pad(tbl, ((0, 5), (0, 0)))                       # (8, 4*Tp)
 
     def gmin(x, cv):
         return jnp.pad(x, (0, pad), constant_values=cv).reshape(
@@ -314,7 +327,15 @@ def visit_plan(tables: FrameTables, width: int, height: int,
 
 
 def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
-                   q_ref, win_ref, *, ntx, q_bits, group_bits):
+                   q_ref, win_ref, *, ntx, q_bits, group_bits,
+                   tri_rows: bool = False):
+    """One (tile, 128-tri batch) visit.
+
+    `tri_rows=False` (group path): tbl block is (8, 512) — rows x/y/w,
+    lanes [comp*128 + j] for comps (e0, e1, e2, q).
+    `tri_rows=True` (pair path): tbl block is (16, 128) — per-tri rows
+    [e0x e0y e0w  e1x e1y e1w  e2x e2y e2w  qx qy qw  pad*4], lanes = the
+    visit's 128 gathered pairs."""
     v = pl.program_id(0)
     word = packed_ref[v]
     tile = word >> (q_bits + group_bits)
@@ -338,10 +359,16 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
         fy = (ty0 + rows // TILE_X).astype(jnp.float32) + jitter_ref[1]
         one = jnp.ones_like(fx)
         p = jnp.concatenate([fx, fy, one], -1)                # (PX, 3)
-        es = jnp.dot(p, tbl_ref[0:3], preferred_element_type=jnp.float32)
         c = GROUP
-        e0, e1, e2 = es[:, 0:c], es[:, c:2 * c], es[:, 2 * c:3 * c]
-        q = es[:, 3 * c:4 * c]
+        if tri_rows:
+            dot = lambda a: jnp.dot(p, tbl_ref[a:a + 3],       # noqa: E731
+                                    preferred_element_type=jnp.float32)
+            e0, e1, e2, q = dot(0), dot(3), dot(6), dot(9)     # (PX, 128)
+        else:
+            es = jnp.dot(p, tbl_ref[0:3],
+                         preferred_element_type=jnp.float32)
+            e0, e1, e2 = es[:, 0:c], es[:, c:2 * c], es[:, 2 * c:3 * c]
+            q = es[:, 3 * c:4 * c]
         covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
         ok = covered & (q > 0.0) & (q < jnp.inf)
         qm = jnp.where(ok, q, -1.0)                           # (PX, C)
@@ -355,7 +382,14 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
         q_new = jnp.max(qm, axis=-1, keepdims=True)           # exact max q
         q_best = q_ref[:, 0:1]
         better = q_new > q_best
-        win = group * c + ((c - 1) - (kbest & (c - 1)))
+        if tri_rows:
+            # The real triangle id rides table row 12 (f32, exact to
+            # 2^24); select the winning lane's id by masked sum (the
+            # packed key is unique per row, exactly one lane matches).
+            win = jnp.sum(jnp.where(key == kbest, tbl_ref[12:13], 0.0),
+                          axis=-1, keepdims=True).astype(jnp.int32)
+        else:
+            win = group * c + ((c - 1) - (kbest & (c - 1)))
         rep = q_ref.shape
         q_ref[:] = jnp.broadcast_to(jnp.where(better, q_new, q_best), rep)
         win_ref[:] = jnp.broadcast_to(
@@ -367,21 +401,206 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
     pl.when((qq == 0) | (jnp.min(q_ref[:, 0:1]) < bound))(_visit)
 
 
-def _rasterize_tiles(tables: FrameTables, width: int, height: int,
-                     jitter=(0.5, 0.5), interpret: bool = False,
-                     needed=None):
-    """One rasterization pass -> TILE-MAJOR per-pixel (q, win, overflow).
+# Pair capacity for exact per-tri binning (multiple of GROUP).  The 260k-tri
+# atrium at 1080p measures ~170k exact (tri, tile) pairs; 512k gives 3x
+# headroom.  When a frame exceeds the cap the excess pairs are DROPPED
+# (arbitrary tris, counted in `pairs_overflow`) — callers needing
+# exactness-or-bust should check the counter and re-render via the group
+# path (closest_hit_raster(binning="group")).
+PAIR_CAP = int(_os.environ.get("D3D12TPU_RASTER_PAIR_CAP", str(512 * 1024)))
+assert PAIR_CAP % GROUP == 0
 
-    `needed` optionally restricts the (tile, group) visit mask (occlusion
-    feedback); None means the full geometric mask."""
+
+def visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
+                     width: int, height: int, pair_cap: int = None):
+    """EXACT per-triangle tile binning (vs the conservative GROUP-rect
+    binning of visit_plan): each triangle is expanded to the tiles its own
+    screen rect overlaps, pairs are sorted front-to-back per tile, and the
+    per-visit plane tables are GATHERED in sorted order so the kernel's
+    visit blocks stay lane-aligned.  The atrium at 1080p measures ~170k
+    exact pairs vs 24k group visits x 128 tris = 3.1M pair-equivalents —
+    a ~10x reduction in kernel work (the per-visit MXU cost is fixed by
+    (pixels x lanes), independent of the K=3 contraction).
+
+    Primitive choices are TPU-measured: the slot->tri map is a scatter-max
+    at segment starts + cummax (searchsorted at this size lowers to ~18
+    chained gathers, 72 ms); visit alignment happens POST-sort with
+    per-visit index math (no pad injection, no (pairs)-sized scatter); the
+    table carries the triangle ID as row 12 so the kernel emits real tri
+    ids (no 2M-pixel remap gather).
+
+    Returns (packed_words, counts, scale2, table, pairs_overflow,
+    visits_overflow, bits):
+      packed_words (NV + SLAB_TILES*VISIT_CAP,) int32 visit words
+        tile | qq2 | block sorted per tile front-to-back;
+      counts (n_tiles,) visits per tile (>= 1, <= VISIT_CAP);
+      scale2 (1,) f32 dequantizer for qq2;
+      table (16*NV, GROUP) f32 per-visit plane rows (row 12 = tri id)."""
     assert width % TILE_X == 0 and height % TILE_Y == 0, (width, height)
     ntx, nty = width // TILE_X, height // TILE_Y
     n_tiles = ntx * nty
-    n_groups = tables.qhi.shape[0]
-    _, q_bits, group_bits = _visit_bits(n_tiles, n_groups)
-    packed, counts, scale, overflow = visit_plan(tables, width, height,
-                                                 needed=needed)
+    cap = pair_cap or PAIR_CAP
+    t = tri_v0.shape[0]
+    i32 = jnp.int32
 
+    e0, e1, e2, qp, x0, y0, x1, y1, q_tri = _project_planes(
+        tri_v0, tri_e1, tri_e2, tri_valid, mat, attr, width, height)
+
+    # Per-tri plane rows (T+1, 16); row 12 carries the triangle id (f32 is
+    # exact to 2^24); trailing row serves pad pairs (NaN planes fail every
+    # kernel compare).
+    rows16 = jnp.stack(
+        [e0[0], e0[1], e0[2], e1[0], e1[1], e1[2],
+         e2[0], e2[1], e2[2], qp[0], qp[1], qp[2],
+         jnp.arange(t, dtype=jnp.float32),
+         jnp.zeros(t, jnp.float32), jnp.zeros(t, jnp.float32),
+         jnp.zeros(t, jnp.float32)], axis=-1)                   # (T, 16)
+    rows16 = jnp.pad(rows16, ((0, 1), (0, 0)),
+                     constant_values=jnp.nan)                   # (T+1, 16)
+
+    # Exact tile ranges; NaN rects (degenerate tris) fail `vis` and the
+    # nan_to_num keeps the int casts defined.
+    fx0 = jnp.nan_to_num(jnp.clip(jnp.floor(x0 / TILE_X), 0, ntx - 1))
+    fy0 = jnp.nan_to_num(jnp.clip(jnp.floor(y0 / TILE_Y), 0, nty - 1))
+    fx1 = jnp.nan_to_num(jnp.clip(jnp.ceil(x1 / TILE_X) - 1, 0, ntx - 1))
+    fy1 = jnp.nan_to_num(jnp.clip(jnp.ceil(y1 / TILE_Y) - 1, 0, nty - 1))
+    vis = ((q_tri > 0.0) & (x1 > 0.0) & (x0 < width)
+           & (y1 > 0.0) & (y0 < height))
+    tx0i, ty0i = fx0.astype(i32), fy0.astype(i32)
+    cx = jnp.maximum(fx1.astype(i32) - tx0i + 1, 1)
+    cy = jnp.maximum(fy1.astype(i32) - ty0i + 1, 1)
+    counts_tri = jnp.where(vis, cx * cy, 0)
+
+    # Pair sort key: tile | qq (30 bits; bit 30 spare so no real key can
+    # reach the 0x7FFFFFFF invalid sentinel).
+    tile_bits = max(n_tiles - 1, 1).bit_length()
+    qp_bits = 30 - tile_bits
+    qmax_p = (1 << qp_bits) - 1
+    finite = jnp.isfinite(q_tri) & (q_tri > 0)
+    scale = jnp.maximum(jnp.max(jnp.where(finite, q_tri, 0.0)), 1e-30) \
+        / (qmax_p - 1)
+    q_up = jnp.ceil(q_tri / scale)
+    qq = jnp.where(jnp.isfinite(q_tri),
+                   jnp.clip(qmax_p - q_up, 1, qmax_p - 1), 0).astype(i32)
+
+    # Expansion slot -> tri: scatter each visible tri's id at its segment
+    # start, cummax fills the segment.  Gathers below are COHERENT
+    # (ascending tri per slot).
+    cum = jnp.cumsum(counts_tri)
+    starts = cum - counts_tri
+    total = cum[-1]
+    pairs_overflow = jnp.maximum(total - cap, 0)
+    write = (counts_tri > 0) & (starts < cap)
+    mark = jnp.zeros(cap, i32).at[jnp.where(write, starts, 0)].max(
+        jnp.where(write, jnp.arange(t, dtype=i32) + 1, 0))
+    slots = jnp.arange(cap, dtype=i32)
+    tri_of = jax.lax.associative_scan(jnp.maximum, mark) - 1
+    live = slots < total
+    tri_c = jnp.clip(tri_of, 0, t - 1)
+    # 3 coherent scalar gathers: packed rect (tx0|ty0|cx), start, qq.
+    assert ntx <= 1024 and nty <= 1024
+    prect = tx0i | (ty0i << 10) | (cx << 20)
+    rect_g = prect[tri_c]
+    local = slots - starts[tri_c]
+    cx_g = jnp.maximum(rect_g >> 20, 1)
+    tile = ((rect_g >> 10) & 1023) * ntx + (rect_g & 1023) \
+        + (local // cx_g) * ntx + local % cx_g
+    key = jnp.where(live, (tile << qp_bits) | qq[tri_c],
+                    jnp.int32(0x7FFFFFFF))
+    val = jnp.where(live, tri_c, -1)
+    skey, sval = jax.lax.sort((key, val), num_keys=1, is_stable=True)
+
+    # Post-sort visit alignment, all at visit granularity (NV ~ 5k): tile
+    # segment boundaries via n_tiles-sized searchsorted, ceil-div visit
+    # counts, per-visit source windows into the sorted pair list.  Lanes
+    # past a segment's end become pad pairs (tri -1 -> NaN row).
+    stile = skey >> qp_bits                          # ascending; invalid big
+    bounds = jnp.searchsorted(stile, jnp.arange(n_tiles + 1)).astype(i32)
+    cnt_t = bounds[1:] - bounds[:-1]
+    nv_t = jnp.maximum((cnt_t + GROUP - 1) // GROUP, 1)
+    vcum = jnp.cumsum(nv_t)
+    nv = cap // GROUP + n_tiles                      # static visit capacity
+    v_bits = max(nv - 1, 1).bit_length()
+    q2_bits = 31 - tile_bits - v_bits
+    assert q2_bits >= 4, (n_tiles, nv)
+    qmax2 = (1 << q2_bits) - 1
+    vidx = jnp.arange(nv, dtype=i32)
+    vtile = jnp.searchsorted(vcum, vidx, side="right").astype(i32)
+    live_v = vidx < vcum[-1]
+    vtile_c = jnp.clip(vtile, 0, n_tiles - 1)
+    lv = vidx - (vcum - nv_t)[vtile_c]               # visit rank in tile
+    seg0 = bounds[:-1][vtile_c]
+    seg1 = bounds[1:][vtile_c]
+    src0 = seg0 + lv * GROUP
+    src = src0[:, None] + jnp.arange(GROUP, dtype=i32)[None, :]
+    pvalid = src < seg1[:, None]
+    tri_aligned = jnp.where(pvalid, sval[jnp.minimum(src, cap - 1)], -1)
+
+    # Visit words: bound = the first (nearest) member pair's quantized q,
+    # conservatively requantized to q2_bits (floor keeps bound2 >= bound);
+    # qq==0 stays 0 (unbounded, never skipped); empty tiles' forced visit
+    # gets qmax2 (bound 0 -> skipped, but still inits the tile).
+    has_pair = lv * GROUP < cnt_t[vtile_c]
+    kfirst = skey[jnp.minimum(src0, cap - 1)]
+    vqq = jnp.where(has_pair, kfirst & ((1 << qp_bits) - 1), qmax_p)
+    qq2 = jnp.where(vqq == 0, 0,
+                    jnp.where(vqq >= qmax_p, qmax2,
+                              jnp.clip((vqq * (qmax2 - 1)) // (qmax_p - 1),
+                                       1, qmax2 - 1)))
+    scale2 = scale * (qmax_p - 1) / (qmax2 - 1)
+    words = jnp.where(live_v,
+                      (vtile << (q2_bits + v_bits)) | (qq2 << v_bits) | vidx,
+                      jnp.int32(0x7FFFFFFF))
+
+    # Clamp per-tile visits at VISIT_CAP (slab SMEM invariant); over-cap
+    # visits (the FARTHEST blocks — per-tile order is front-to-back) are
+    # dropped and the tiny word list re-sorted compact.
+    keep = live_v & (lv < VISIT_CAP)
+    visits_overflow = (live_v & ~keep).sum()
+    words = jnp.sort(jnp.where(keep, words, jnp.int32(0x7FFFFFFF)))
+    counts = jnp.minimum(nv_t, VISIT_CAP)
+    packed = jnp.pad(words, (0, SLAB_TILES * VISIT_CAP),
+                     constant_values=0x7FFFFFFF)
+
+    # Gather the per-visit plane tables in aligned order:
+    # (NV*G, 16) rows -> (NV, 16, GROUP) -> (16*NV, GROUP) blocks.
+    tri_idx = jnp.where(tri_aligned >= 0, tri_aligned, t).reshape(-1)
+    table = rows16[tri_idx].reshape(nv, GROUP, 16).transpose(0, 2, 1) \
+        .reshape(nv * 16, GROUP)
+    return (packed, counts, scale2.reshape(1).astype(jnp.float32), table,
+            pairs_overflow, visits_overflow,
+            dict(q_bits=q2_bits, group_bits=v_bits))
+
+
+def rasterize_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
+                    width: int, height: int, jitter=(0.5, 0.5),
+                    interpret: bool = False, pair_cap: int = None):
+    """Exact per-tri binned rasterization -> ROW-MAJOR (q, tri, overflow).
+
+    Same output contract as rasterize() (group binning) but ~10x fewer
+    kernel pair tests at content scale; `overflow` counts dropped pairs
+    plus dropped visits (0 in correct frames — callers needing
+    exactness-or-bust check it and fall back to binning="group")."""
+    ntx, nty = width // TILE_X, height // TILE_Y
+    n_tiles = ntx * nty
+    (packed, counts, scale2, table, povf, vovf,
+     bits) = visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
+                              width, height, pair_cap)
+    q, win = _run_slabs(packed, counts, scale2, table,
+                        n_tiles=n_tiles, ntx=ntx, q_bits=bits["q_bits"],
+                        group_bits=bits["group_bits"], jitter=jitter,
+                        interpret=interpret, tri_rows=True)
+    qmin = q.reshape(n_tiles, PX).min(-1)
+    return (_unscramble(q, width, height),
+            _unscramble(win, width, height), povf + vovf, qmin)
+
+
+def _run_slabs(packed, counts, scale, table, *, n_tiles, ntx, q_bits,
+               group_bits, jitter, interpret, tri_rows):
+    """Shared slab loop: run the raster kernel over the per-tile visit
+    lists.  `table` is (8, 4*GROUP*n_blocks) (group path) or
+    (16*n_blocks, 128) (pair path); each visit word's low `group_bits`
+    select its block.  Returns TILE-MAJOR (q, win)."""
     pad_t = (-n_tiles) % SLAB_TILES
     counts_p = jnp.pad(counts, (0, pad_t))
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
@@ -389,9 +608,8 @@ def _rasterize_tiles(tables: FrameTables, width: int, height: int,
     # The slab loop below consumes these in every iteration; without a
     # barrier XLA rematerializes the table pack/plan work INTO the loop
     # body (measured ~25 ms/frame of repeated transposes).
-    planes, packed, starts, scale = jax.lax.optimization_barrier(
-        (tables.planes, packed, starts, scale))
-    tables = tables._replace(planes=planes)
+    table, packed, starts, scale = jax.lax.optimization_barrier(
+        (table, packed, starts, scale))
     n_slabs = (n_tiles + pad_t) // SLAB_TILES
     jit2 = jnp.asarray(jitter, jnp.float32).reshape(2)
 
@@ -400,9 +618,14 @@ def _rasterize_tiles(tables: FrameTables, width: int, height: int,
     per_px = pl.BlockSpec((PX, PRL),
                           lambda v, pk, base: ((pk[v] >> shift) - base[0], 0),
                           memory_space=pltpu.VMEM)
-    tbl_spec = pl.BlockSpec((8, 4 * GROUP),
-                            lambda v, pk, base: (0, pk[v] & gmask),
-                            memory_space=pltpu.VMEM)
+    if tri_rows:
+        tbl_spec = pl.BlockSpec((16, GROUP),
+                                lambda v, pk, base: (pk[v] & gmask, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        tbl_spec = pl.BlockSpec((8, 4 * GROUP),
+                                lambda v, pk, base: (0, pk[v] & gmask),
+                                memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((SLAB_TILES * PX, PRL), jnp.float32),
         jax.ShapeDtypeStruct((SLAB_TILES * PX, PRL), jnp.int32),
@@ -426,17 +649,38 @@ def _rasterize_tiles(tables: FrameTables, width: int, height: int,
         )
         q, win = pl.pallas_call(
             functools.partial(_raster_kernel, ntx=ntx, q_bits=q_bits,
-                              group_bits=group_bits),
+                              group_bits=group_bits, tri_rows=tri_rows),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             compiler_params=_VMEM_LIMIT,
             interpret=interpret,
-        )(words, jnp.full((1,), base, jnp.int32), scale, jit2, tables.planes)
+        )(words, jnp.full((1,), base, jnp.int32), scale, jit2, table)
         return q[:, 0], win[:, 0]
 
     q, win = jax.lax.map(one_slab, jnp.arange(n_slabs))
     q = q.reshape(-1)[:n_tiles * PX]
     win = win.reshape(-1)[:n_tiles * PX]
+    return q, win
+
+
+def _rasterize_tiles(tables: FrameTables, width: int, height: int,
+                     jitter=(0.5, 0.5), interpret: bool = False,
+                     needed=None):
+    """One rasterization pass -> TILE-MAJOR per-pixel (q, win, overflow).
+
+    `needed` optionally restricts the (tile, group) visit mask (occlusion
+    feedback); None means the full geometric mask."""
+    assert width % TILE_X == 0 and height % TILE_Y == 0, (width, height)
+    ntx, nty = width // TILE_X, height // TILE_Y
+    n_tiles = ntx * nty
+    n_groups = tables.qhi.shape[0]
+    _, q_bits, group_bits = _visit_bits(n_tiles, n_groups)
+    packed, counts, scale, overflow = visit_plan(tables, width, height,
+                                                 needed=needed)
+    q, win = _run_slabs(packed, counts, scale, tables.planes,
+                        n_tiles=n_tiles, ntx=ntx, q_bits=q_bits,
+                        group_bits=group_bits, jitter=jitter,
+                        interpret=interpret, tri_rows=False)
     return q, win, overflow
 
 
@@ -504,27 +748,39 @@ def rasterize(tables: FrameTables, width: int, height: int,
 def closest_hit_raster(bvh, camera, width: int, height: int,
                        jitter=(0.5, 0.5), interpret: bool = False,
                        tables: Optional[FrameTables] = None,
-                       tile_qmin=None):
+                       tile_qmin=None, binning: str = "tri",
+                       pair_cap: int = None):
     """Primary-visibility drop-in for render/bvh.closest_hit on pinhole
     cameras: returns {t, tri, uv, hit} (row-major pixels) computed by the
     tile-binned rasterizer.  t and barycentrics are recomputed from the
     winner's plane row / closed form so the G-buffer math downstream is
     identical to the ray path's.
 
+    `binning`: "tri" (default) bins EXACT per-tri screen rects (~10x fewer
+    kernel pair tests at content scale; drops pairs past `pair_cap`, see
+    visit_plan_pairs); "group" bins conservative 128-tri group rects (no
+    cap losses, supports occlusion feedback).
+
     `tile_qmin`: previous frame's res["tile_qmin"] enables exact two-phase
-    occlusion-culled visiting (see rasterize)."""
+    occlusion-culled visiting (group binning only, see rasterize)."""
     wp = width + ((-width) % TILE_X)
     hp = height + ((-height) % TILE_Y)
-    if tables is None:
-        # The projection maps to UNPADDED pixel coordinates (identical to
-        # generate_rays); padded tiles just evaluate the linear edge
-        # functions beyond x = width, which is exact extrapolation.
+    if binning == "tri" and tables is None and tile_qmin is None:
         mat, attr = perspective_rows(camera, width, height)
-        tables = build_frame_tables(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
-                                    bvh.tri_valid, mat, attr, wp, hp)
-    q, tri, overflow, qmin_out = rasterize(tables, wp, hp, jitter=jitter,
-                                           interpret=interpret,
-                                           tile_qmin=tile_qmin)
+        q, tri, overflow, qmin_out = rasterize_pairs(
+            bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_valid, mat, attr,
+            wp, hp, jitter=jitter, interpret=interpret, pair_cap=pair_cap)
+    else:
+        if tables is None:
+            # The projection maps to UNPADDED pixel coordinates (identical
+            # to generate_rays); padded tiles just evaluate the linear edge
+            # functions beyond x = width, which is exact extrapolation.
+            mat, attr = perspective_rows(camera, width, height)
+            tables = build_frame_tables(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
+                                        bvh.tri_valid, mat, attr, wp, hp)
+        q, tri, overflow, qmin_out = rasterize(tables, wp, hp, jitter=jitter,
+                                               interpret=interpret,
+                                               tile_qmin=tile_qmin)
     if wp != width or hp != height:
         q = q.reshape(hp, wp)[:height, :width].reshape(-1)
         tri = tri.reshape(hp, wp)[:height, :width].reshape(-1)
