@@ -140,6 +140,35 @@ class DirectionalLight:
     casts_shadow: bool = True
 
 
+@component("joint")
+class Joint:
+    """Constraint to another entity's rigid body (reference: constraint
+    entity handles + per-type constraint structs, src/physics/constraints.h
+    and physics.cpp:147-330 addXxxConstraintFromGlobalPoints).  Anchors and
+    axes are GLOBAL (authoring frame); compile_physics localizes them.
+    Entities may hold several joints (stored as a list, like colliders).
+
+    Motor conventions follow the solver (physics/joints.py): motor_type
+    "velocity" drives toward `motor_target` rad/s (or m/s for sliders),
+    "position" toward a target angle/offset; `motor_max` is the max
+    torque/force, <= 0 disables the motor."""
+
+    kind: str = "hinge"        # distance|ball|fixed|hinge|cone_twist|slider
+    other: int = -1            # entity id of body B
+    anchor: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    anchor_b: Optional[Tuple[float, float, float]] = None  # distance only
+    axis: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    length: Optional[float] = None        # distance rest length
+    limit_min: Optional[float] = None     # hinge angle / slider neg offset
+    limit_max: Optional[float] = None
+    swing_limit: float = -1.0             # cone-twist (negative = disabled)
+    twist_limit: float = -1.0
+    motor_type: str = "velocity"          # velocity | position
+    motor_target: float = 0.0
+    motor_max: float = 0.0                # max torque/force; <= 0 disables
+    collide_connected: bool = False
+
+
 @component("cloth")
 class Cloth:
     """reference: cloth_component (src/physics/cloth.h:5-56)."""

@@ -38,7 +38,7 @@ class Entity:
     def add_component(self, comp) -> "Entity":
         kind = comp.component_name
         store = self.scene._components.setdefault(kind, {})
-        if kind == "collider":
+        if kind in ("collider", "joint"):
             store.setdefault(self.id, []).append(comp)
         else:
             store[self.id] = comp
@@ -139,6 +139,59 @@ class Scene:
             mapping[ent.id] = body
             for col in colliders or []:
                 self._add_collider(b, body, col)
+
+        # Joint components (reference: constraint creation from the editor,
+        # physics.cpp:147-330).  Resolved after every body exists; a joint
+        # whose `other` entity has no body attaches to the static world
+        # body via a kinematic anchor error.
+        for ent, (tf,) in self.view("transform"):
+            for j in ent.get("joint") or []:
+                a = mapping.get(ent.id)
+                if a is None:
+                    raise ValueError(
+                        f"entity {ent.name} has a joint but no rigid body")
+                if j.other not in mapping:
+                    raise ValueError(
+                        f"joint on {ent.name}: other entity {j.other} has "
+                        f"no rigid body")
+                bb = mapping[j.other]
+                mtype = 1.0 if j.motor_type == "position" else 0.0
+                idx = None
+                if j.kind == "distance":
+                    idx = b.add_distance_joint(
+                        a, bb, j.anchor, j.anchor_b or j.anchor,
+                        length=j.length)
+                elif j.kind == "ball":
+                    idx = b.add_ball_joint(a, bb, j.anchor)
+                elif j.kind == "fixed":
+                    idx = b.add_fixed_joint(a, bb, j.anchor)
+                elif j.kind == "hinge":
+                    idx = b.add_hinge_joint(
+                        a, bb, j.anchor, j.axis,
+                        min_limit=j.limit_min, max_limit=j.limit_max,
+                        motor_type=mtype, motor_target=j.motor_target,
+                        max_torque=(j.motor_max if j.motor_max > 0
+                                    else None))
+                elif j.kind == "cone_twist":
+                    idx = b.add_cone_twist_joint(
+                        a, bb, j.anchor, j.axis,
+                        swing_limit=j.swing_limit,
+                        twist_limit=j.twist_limit,
+                        twist_motor_type=mtype,
+                        twist_target=j.motor_target,
+                        max_twist_torque=(j.motor_max if j.motor_max > 0
+                                          else None))
+                elif j.kind == "slider":
+                    idx = b.add_slider_joint(
+                        a, bb, j.anchor, j.axis,
+                        neg_limit=j.limit_min, pos_limit=j.limit_max,
+                        motor_type=mtype, motor_target=j.motor_target,
+                        max_force=(j.motor_max if j.motor_max > 0
+                                   else None))
+                else:
+                    raise ValueError(f"unknown joint kind {j.kind!r}")
+                if j.collide_connected:
+                    b.set_collide_connected(idx)
 
         arch, state = b.finalize()
         return arch, state, mapping
@@ -250,7 +303,7 @@ class Scene:
                 if eid not in store:
                     continue
                 v = store[eid]
-                if kind == "collider":
+                if kind in ("collider", "joint"):
                     ent["components"][kind] = [C.to_plain(c) for c in v]
                 else:
                     ent["components"][kind] = C.to_plain(v)
@@ -268,7 +321,7 @@ class Scene:
         for ed in doc.get("entities", []):
             ent = scene.create_entity(ed.get("name", ""))
             for kind, data in ed.get("components", {}).items():
-                if kind == "collider":
+                if kind in ("collider", "joint"):
                     for cd in data:
                         ent.add_component(C.from_plain(kind, cd))
                 else:

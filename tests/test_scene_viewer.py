@@ -123,6 +123,53 @@ def test_scene_viewer_serve_loop():
         ents = json.loads(get("/entities"))
         red2 = next(e for e in ents if e["name"] == "RedSphere")
         assert red2["position"][1] == pytest.approx(2.2)
+
+        # Component editing beyond transforms (reference: the inspector
+        # edits every component, editor.cpp): material params with undo.
+        red_det = red2["detail"]["material"]
+        assert red_det["albedo"][0] == pytest.approx(0.75)
+        post("/edit", {"id": red2["id"], "component": "material",
+                       "index": None, "fields": {"albedo": [0.1, 0.9, 0.1],
+                                                 "roughness": 0.9}})
+        ents = json.loads(get("/entities"))
+        red3 = next(e for e in ents if e["name"] == "RedSphere")
+        assert red3["detail"]["material"]["albedo"][1] == pytest.approx(0.9)
+        assert post("/undo")["undone"] == "edit RedSphere"
+        ents = json.loads(get("/entities"))
+        red3 = next(e for e in ents if e["name"] == "RedSphere")
+        assert red3["detail"]["material"]["albedo"][0] == pytest.approx(0.75)
+
+        # Constraint motor editing DURING PLAY: retargeting the paddle's
+        # hinge motor must change the very next physics steps (reference:
+        # live constraint editing in the inspector, editor.cpp).
+        ents = json.loads(get("/entities"))
+        paddle = next(e for e in ents if e["name"] == "Paddle")
+        assert paddle["detail"]["joint"][0]["motor_target"] == 0.0
+        assert post("/play")["mode"] == "play"
+        for _ in range(3):
+            get("/render?size=64&spp=1")
+        ph = json.loads(get("/physics"))
+        w0 = ph["bodies"][str(paddle["id"])]["ang_vel"][1]
+        assert abs(w0) < 0.5, f"paddle should be still, spins at {w0}"
+        post("/edit", {"id": paddle["id"], "component": "joint", "index": 0,
+                       "fields": {"motor_target": 6.0}})
+        for _ in range(8):
+            get("/render?size=64&spp=1")
+        ph = json.loads(get("/physics"))
+        w1 = ph["bodies"][str(paddle["id"])]["ang_vel"][1]
+        # Solver convention: a velocity motor drives the RELATIVE angular
+        # velocity (b - a) about the hinge axis to the target, so body a
+        # (the paddle, against a kinematic post) spins at -target.
+        assert abs(w1) > 2.0, f"motor retarget must spin the paddle, got {w1}"
+        post("/stop")
+        # The editor scene holds the edited target (undoable).
+        ents = json.loads(get("/entities"))
+        paddle = next(e for e in ents if e["name"] == "Paddle")
+        assert paddle["detail"]["joint"][0]["motor_target"] == 6.0
+        assert post("/undo")["undone"] == "edit Paddle"
+        ents = json.loads(get("/entities"))
+        paddle = next(e for e in ents if e["name"] == "Paddle")
+        assert paddle["detail"]["joint"][0]["motor_target"] == 0.0
     finally:
         proc.terminate()
         try:

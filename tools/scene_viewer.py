@@ -128,6 +128,30 @@ def build_demo_scene() -> Scene:
     ground.add_component(C.Transform())
     ground.add_component(C.Mesh(primitive="quad", params={"half": 12.0}))
     ground.add_component(C.Material(albedo=(0.45, 0.45, 0.45), roughness=0.7))
+    # Motorized spinner: kinematic post + hinged paddle with a velocity
+    # motor — the constraint-editing demo (reference: the inspector edits
+    # constraint motors live, src/editor/editor.cpp).
+    post = s.create_entity("Post")
+    post.add_component(C.Transform(position=(-2.5, 0.6, -2.0)))
+    post.add_component(C.Mesh(primitive="box",
+                              params={"half_extents": (0.1, 0.6, 0.1)}))
+    post.add_component(C.Material(albedo=(0.4, 0.35, 0.3)))
+    post.add_component(C.RigidBody(kinematic=True))
+    post.add_component(C.Collider(shape="box", size=(0.1, 0.6, 0.1)))
+    paddle = s.create_entity("Paddle")
+    paddle.add_component(C.Transform(position=(-2.5, 1.35, -2.0)))
+    paddle.add_component(C.Mesh(primitive="box",
+                                params={"half_extents": (0.5, 0.05, 0.12)}))
+    paddle.add_component(C.Material(albedo=(0.8, 0.6, 0.2), roughness=0.3))
+    paddle.add_component(C.RigidBody(gravity_factor=0.0, linear_damping=0.0,
+                                     angular_damping=0.0))
+    paddle.add_component(C.Collider(shape="box", size=(0.5, 0.05, 0.12),
+                                    density=200.0))
+    paddle.add_component(C.Joint(kind="hinge", other=post.id,
+                                 anchor=(-2.5, 1.35, -2.0),
+                                 axis=(0.0, 1.0, 0.0),
+                                 motor_type="velocity", motor_target=0.0,
+                                 motor_max=50.0))
     sun = s.create_entity("Sun")
     sun.add_component(C.DirectionalLight())
     return s
@@ -264,6 +288,46 @@ function applyEdit(id) {
     body: JSON.stringify({ id: id, position: p }) })
     .then(r => r.json()).then(() => refresh());
 }
+// Editable fields per component kind (the inspector's reach: materials,
+// constraint motors/limits, lights, body params).
+const EDITABLE = {
+  material: ['albedo', 'emissive', 'roughness', 'metallic'],
+  joint: ['motor_target', 'motor_max', 'limit_min', 'limit_max'],
+  point_light: ['color', 'intensity', 'radius'],
+  rigid_body: ['gravity_factor', 'linear_damping', 'angular_damping'],
+};
+function compEditor(e, comp, data, index) {
+  const flds = EDITABLE[comp]; if (!flds) return '';
+  const tag = (f, i, v) =>
+    `<input type="number" step="0.1" value="${(+v).toFixed(2)}"
+       data-e="${e.id}" data-c="${comp}" data-i="${index}" data-f="${f}"
+       ${i === null ? '' : `data-vec="${i}"`}>`;
+  let h = `<div class="comps">${comp}${index !== null ? '[' + index + ']' : ''}`;
+  for (const f of flds) {
+    const v = data[f];
+    if (v === null || v === undefined) continue;
+    if (Array.isArray(v)) h += ` ${f} ` + v.map((x, i) => tag(f, i, x)).join('');
+    else if (typeof v === 'number') h += ` ${f} ` + tag(f, null, v);
+  }
+  return h + ` <button onclick="editComp(${e.id},'${comp}',${index})">
+    apply</button></div>`;
+}
+function editComp(id, comp, index) {
+  const fields = {};
+  document.querySelectorAll(
+    `input[data-e="${id}"][data-c="${comp}"][data-i="${index}"]`
+  ).forEach(el => {
+    const f = el.dataset.f, x = parseFloat(el.value);
+    if (el.dataset.vec !== undefined)
+      (fields[f] = fields[f] || [])[parseInt(el.dataset.vec)] = x;
+    else fields[f] = x;
+  });
+  fetch('/edit', { method: 'POST',
+    headers: { 'Content-Type': 'application/json' },
+    body: JSON.stringify({ id: id, component: comp, index: index,
+                           fields: fields }) })
+    .then(r => r.json()).then(() => refresh());
+}
 function loadEnts() {
   fetch('/entities').then(r => r.json()).then(es => {
     const box = document.getElementById('ents');
@@ -275,6 +339,11 @@ function loadEnts() {
           `${a} <input id="p_${e.id}_${a}" type="number" step="0.1"
              value="${e.position[i].toFixed(2)}">`).join(' ') +
           ` <button onclick="applyEdit(${e.id})">move</button></div>`;
+      }
+      for (const comp in (e.detail || {})) {
+        const d = e.detail[comp];
+        if (Array.isArray(d)) d.forEach((c, i) => h += compEditor(e, comp, c, i));
+        else h += compEditor(e, comp, d, null);
       }
       h += '</div>';
       return h;
@@ -308,7 +377,7 @@ def serve(scene: Scene, port: int):
     # the CLONE one 1/60 s frame; `stop` discards the clone — the editor
     # scene is untouched.
     play = {"mode": "edit", "scene": None, "arch": None, "state": None,
-            "mapping": None, "stepper": None, "frames": 0}
+            "mapping": None, "stepper": None, "mo": None, "frames": 0}
 
     def rscene():
         if cache["rscene"] is None:
@@ -324,19 +393,27 @@ def serve(scene: Scene, port: int):
             return
         clone = scene.clone()
         arch, state, mapping = clone.compile_physics()
-        settings = PhysicsSettings()
-        stepper = jax.jit(lambda s: step_mod.physics_step(
-            arch, s, settings, 1.0 / 60.0)[0])
         play.update(scene=clone, arch=arch, state=state, mapping=mapping,
-                    stepper=stepper, frames=0, mode="play")
+                    stepper=_make_stepper(arch),
+                    mo=tuple(dict(t.params) for t in arch.joints),
+                    frames=0, mode="play")
+
+    def _make_stepper(arch):
+        # arch is closed over (the solver extracts host constants from it);
+        # joint PARAMETER arrays ride the `mo` jit argument, so live
+        # motor/limit edits hit the jit cache (reference: the inspector
+        # edits constraint motors during play, editor.cpp).
+        settings = PhysicsSettings()
+        return jax.jit(lambda s, mo: step_mod.physics_step(
+            arch, s, settings, 1.0 / 60.0, motor_overrides=mo or None)[0])
 
     def stop_play():
         play.update(mode="edit", scene=None, arch=None, state=None,
-                    mapping=None, stepper=None, frames=0)
+                    mapping=None, stepper=None, mo=None, frames=0)
 
     def play_rscene(advance: bool):
         if advance:
-            play["state"] = play["stepper"](play["state"])
+            play["state"] = play["stepper"](play["state"], play["mo"])
             play["frames"] += 1
         return play["scene"].build_render_scene(
             body_state=play["state"], mapping=play["mapping"])
@@ -379,42 +456,116 @@ def serve(scene: Scene, port: int):
         out = []
         for ent, _ in scene.view():
             comps = [k for k in scene._components if ent.has(k)]
-            row = {"id": ent.id, "name": ent.name, "components": comps}
+            row = {"id": ent.id, "name": ent.name, "components": comps,
+                   "detail": {}}
             tf = ent.get("transform")
             if tf is not None:
                 row["position"] = [float(x) for x in tf.position]
                 row["rotation"] = [float(x) for x in tf.rotation]
+            # Full component reflection (the reference inspector edits every
+            # component, editor.cpp drawComponent loops): dataclass fields
+            # serialize for the side panel; list components (collider,
+            # joint) serialize per element.
+            for k in comps:
+                v = scene._components[k][ent.id]
+                if isinstance(v, list):
+                    row["detail"][k] = [C.to_plain(c) for c in v]
+                else:
+                    row["detail"][k] = C.to_plain(v)
             out.append(row)
         return out
 
-    def make_toggle(eid):
-        def toggle(saved_tf):
-            store = scene._components["transform"]
-            replaced = store[eid]
-            store[eid] = saved_tf
+    def _comp_slot(sc, eid, kind, index):
+        """(store, current value) for a component slot on a scene."""
+        store = sc._components.get(kind, {})
+        if eid not in store:
+            raise KeyError(f"entity {eid} has no {kind}")
+        cur = store[eid]
+        if isinstance(cur, list):
+            if index is None or not (0 <= index < len(cur)):
+                raise KeyError(f"{kind} index {index} out of range")
+        return store, cur
+
+    def _set_comp(sc, eid, kind, index, new):
+        store, cur = _comp_slot(sc, eid, kind, index)
+        if isinstance(cur, list):
+            old = cur[index]
+            cur[index] = new
+        else:
+            old = cur
+            store[eid] = new
+        return old
+
+    def _rebuild_play_arch(kind="joint"):
+        """Recompile the play clone's physics tables after a live edit,
+        KEEPING the running body state (identical shapes: the edit changed
+        parameter values, not the body/joint layout).  Joint edits flow in
+        through the stepper's motor_overrides argument — jit cache hit, the
+        very next frame uses the new motors; body/collider edits change
+        closed-over arch arrays and rebuild the stepper (one retrace)."""
+        arch2, _, mapping2 = play["scene"].compile_physics()
+        play["arch"] = arch2
+        play["mapping"] = mapping2
+        play["mo"] = tuple(dict(t.params) for t in arch2.joints)
+        if kind != "joint":
+            play["stepper"] = _make_stepper(arch2)
+
+    def make_toggle(eid, kind, index):
+        def toggle(saved):
+            replaced = _set_comp(scene, eid, kind, index, saved)
+            if play["mode"] != "edit" and play["scene"] is not None:
+                _set_comp(play["scene"], eid, kind, index, saved)
+                _rebuild_play_arch(kind)
             invalidate()
             return replaced
         return toggle
 
     def apply_edit(doc):
-        eid = int(doc["id"])
-        store = scene._components.get("transform", {})
-        if eid not in store:
-            raise KeyError(f"entity {eid} has no transform")
+        """Edit any component's fields with undo.
+
+        {"id": eid, "component": kind, "index": i?, "fields": {...}} —
+        or the legacy transform shorthand {"id", "position"/"rotation"/
+        "scale"}.  During play/pause, edits apply to BOTH the editor scene
+        and the running clone; physics-affecting components rebuild the
+        clone's tables in place (live motor retargeting, matching the
+        reference inspector's constraint editing)."""
         import dataclasses
 
-        old = store[eid]
+        eid = int(doc["id"])
+        kind = doc.get("component", "transform")
+        index = doc.get("index")
+        if "fields" in doc:
+            fields = doc["fields"]
+        else:  # legacy transform shorthand
+            fields = {k: doc[k] for k in ("position", "rotation", "scale")
+                      if k in doc}
+        _, cur = _comp_slot(scene, eid, kind, index)
+        old = cur[index] if isinstance(cur, list) else cur
+        valid = {f.name: f.type for f in dataclasses.fields(old)}
         changes = {}
-        if "position" in doc:
-            changes["position"] = tuple(float(x) for x in doc["position"])
-        if "rotation" in doc:
-            changes["rotation"] = tuple(float(x) for x in doc["rotation"])
-        if "scale" in doc:
-            changes["scale"] = float(doc["scale"])
+        for k, v in fields.items():
+            if k not in valid:
+                raise KeyError(f"{kind} has no field {k!r}")
+            proto = getattr(old, k)
+            if isinstance(v, list):
+                v = tuple(float(x) for x in v)
+            elif isinstance(proto, bool):
+                v = bool(v)
+            elif isinstance(proto, int) and not isinstance(proto, bool):
+                v = int(v)
+            elif isinstance(proto, float):
+                v = float(v)
+            changes[k] = v
         new = dataclasses.replace(old, **changes)
+        if kind == "transform" and play["mode"] != "edit":
+            raise RuntimeError("stop playback to move entities")
         name = scene._names.get(eid, f"entity{eid}")
-        undo.push(f"edit {name}", old, make_toggle(eid))
-        store[eid] = new
+        undo.push(f"edit {name}", old, make_toggle(eid, kind, index))
+        _set_comp(scene, eid, kind, index, new)
+        if play["mode"] != "edit" and play["scene"] is not None:
+            _set_comp(play["scene"], eid, kind, index, new)
+            if kind in ("joint", "rigid_body", "collider"):
+                _rebuild_play_arch(kind)
         invalidate()
 
     class Handler(BaseHTTPRequestHandler):
@@ -449,6 +600,26 @@ def serve(scene: Scene, port: int):
                         "undo": undo.undo_name, "redo": undo.redo_name,
                         "mode": play["mode"], "frames": play["frames"],
                     }).encode())
+                elif u.path == "/physics":
+                    # Play-mode body state (position/velocity per entity):
+                    # the live-edit observability hook (reference: the
+                    # editor reads back rigid-body state every frame).
+                    with lock:
+                        if play["mode"] == "edit" or play["state"] is None:
+                            raise RuntimeError("not playing")
+                        st = play["state"]
+                        rows = {}
+                        for eid, b in play["mapping"].items():
+                            rows[str(eid)] = {
+                                "position":
+                                    np.asarray(st.pos[b]).tolist(),
+                                "lin_vel":
+                                    np.asarray(st.vel[b]).tolist(),
+                                "ang_vel":
+                                    np.asarray(st.omega[b]).tolist(),
+                            }
+                    self._send(200, json.dumps(
+                        {"frames": play["frames"], "bodies": rows}).encode())
                 else:
                     self._send(404, b"{}")
             except Exception as e:  # surface errors to the client
@@ -461,9 +632,6 @@ def serve(scene: Scene, port: int):
             try:
                 if u.path == "/edit":
                     with lock:
-                        if play["mode"] != "edit":
-                            raise RuntimeError(
-                                "stop playback to edit the scene")
                         apply_edit(json.loads(raw))
                     self._send(200, b'{"ok": true}')
                 elif u.path == "/play":
