@@ -484,8 +484,9 @@ def visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
                    jnp.clip(qmax_p - q_up, 1, qmax_p - 1), 0).astype(i32)
 
     # Expansion slot -> tri: scatter each visible tri's id at its segment
-    # start, cummax fills the segment.  Gathers below are COHERENT
-    # (ascending tri per slot).
+    # start, cummax fills the segment.  All per-tri payloads ride ONE
+    # (T, 4)-row gather — TPU scalar gathers cost ~4.7 ms each at 512k
+    # where a 4-wide row gather is ~1 pass (measured tmp/divmod_prof.py).
     cum = jnp.cumsum(counts_tri)
     starts = cum - counts_tri
     total = cum[-1]
@@ -497,15 +498,15 @@ def visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
     tri_of = jax.lax.associative_scan(jnp.maximum, mark) - 1
     live = slots < total
     tri_c = jnp.clip(tri_of, 0, t - 1)
-    # 3 coherent scalar gathers: packed rect (tx0|ty0|cx), start, qq.
     assert ntx <= 1024 and nty <= 1024
     prect = tx0i | (ty0i << 10) | (cx << 20)
-    rect_g = prect[tri_c]
-    local = slots - starts[tri_c]
+    payload = jnp.stack([prect, starts, qq, jnp.zeros_like(qq)], -1)
+    pay_g = payload[tri_c]                                      # (cap, 4)
+    rect_g, local = pay_g[:, 0], slots - pay_g[:, 1]
     cx_g = jnp.maximum(rect_g >> 20, 1)
     tile = ((rect_g >> 10) & 1023) * ntx + (rect_g & 1023) \
         + (local // cx_g) * ntx + local % cx_g
-    key = jnp.where(live, (tile << qp_bits) | qq[tri_c],
+    key = jnp.where(live, (tile << qp_bits) | pay_g[:, 2],
                     jnp.int32(0x7FFFFFFF))
     val = jnp.where(live, tri_c, -1)
     skey, sval = jax.lax.sort((key, val), num_keys=1, is_stable=True)
@@ -746,7 +747,7 @@ def rasterize(tables: FrameTables, width: int, height: int,
 
 
 def closest_hit_raster(bvh, camera, width: int, height: int,
-                       jitter=(0.5, 0.5), interpret: bool = False,
+                       jitter=(0.5, 0.5), interpret: Optional[bool] = None,
                        tables: Optional[FrameTables] = None,
                        tile_qmin=None, binning: str = "tri",
                        pair_cap: int = None):
@@ -762,7 +763,11 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
     cap losses, supports occlusion feedback).
 
     `tile_qmin`: previous frame's res["tile_qmin"] enables exact two-phase
-    occlusion-culled visiting (group binning only, see rasterize)."""
+    occlusion-culled visiting (group binning only, see rasterize).
+
+    `interpret`: None auto-selects Mosaic on TPU, interpret elsewhere."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
     wp = width + ((-width) % TILE_X)
     hp = height + ((-height) % TILE_Y)
     if binning == "tri" and tables is None and tile_qmin is None:
@@ -789,8 +794,9 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
     # t from q in closed form: q = 1/w (view depth); the pixel's unit ray
     # direction has view-space -z component w/t  =>  t = |dir_cam| * w.
     th = math.tan(camera.v_fov * 0.5)
-    x = jnp.arange(width, dtype=jnp.float32) + jnp.float32(jitter[0])
-    y = jnp.arange(height, dtype=jnp.float32) + jnp.float32(jitter[1])
+    jit2 = jnp.asarray(jitter, jnp.float32)     # traceable (TAA per-frame)
+    x = jnp.arange(width, dtype=jnp.float32) + jit2[0]
+    y = jnp.arange(height, dtype=jnp.float32) + jit2[1]
     ndc_x = (x / width * 2.0 - 1.0) * th * camera.aspect
     ndc_y = (1.0 - y / height * 2.0) * th
     norm = jnp.sqrt(1.0 + ndc_x[None, :] ** 2 + ndc_y[:, None] ** 2).reshape(-1)

@@ -80,16 +80,24 @@ def generate_rays(
     key: Optional[jnp.ndarray] = None,
     f_number: float = 0.0,
     focal_length: float = 1.0,
+    offset=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Primary rays (origin (H*W,3), direction (H*W,3)).
 
-    With `key`, sub-pixel positions are jittered (AA) and, if f_number > 0,
-    origins sample a thin-lens aperture (reference path tracer DoF:
-    path_tracing.h:15-17)."""
+    With `key`, sub-pixel positions are jittered per pixel (AA) and, if
+    f_number > 0, origins sample a thin-lens aperture (reference path
+    tracer DoF: path_tracing.h:15-17).  `offset` instead applies ONE
+    sub-pixel offset to every pixel — the TAA-style per-frame jitter the
+    rasterized primary path uses (its edge functions evaluate at a single
+    sample position per frame)."""
     px = jnp.arange(width, dtype=jnp.float32)
     py = jnp.arange(height, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(px, py)
-    if key is not None:
+    if offset is not None:
+        off = jnp.broadcast_to(
+            jnp.asarray(offset, jnp.float32).reshape(1, 1, 2),
+            (height, width, 2))
+    elif key is not None:
         key, k1 = jax.random.split(key)
         off = jax.random.uniform(k1, (height, width, 2))
     else:

@@ -55,9 +55,26 @@ def _view_to_pixel(camera: Camera, v, width, height):
 
 def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
                    prev_camera: Optional[Camera] = None,
-                   jitter_key=None, max_steps=512) -> GBuffer:
-    o, d = generate_rays(camera, width, height, key=jitter_key)
-    res = bvh_mod.closest_hit(scene.bvh, o, d, max_steps=max_steps)
+                   jitter_key=None, max_steps=512,
+                   primary: str = "ray") -> GBuffer:
+    """primary="ray": per-pixel jittered primary rays against the BVH.
+    primary="raster": the tile-binned 2DH rasterizer (ops/raster_pallas),
+    ~10x faster at content scale; sub-pixel AA jitter becomes ONE per-frame
+    offset (TAA-style), matching hardware rasterization."""
+    if primary == "raster":
+        import jax
+
+        from ..ops import raster_pallas as rp
+        if jitter_key is not None:
+            jit2 = jax.random.uniform(jitter_key, (2,))
+        else:
+            jit2 = jnp.full((2,), 0.5)
+        res = rp.closest_hit_raster(scene.bvh, camera, width, height,
+                                    jitter=jit2)
+        o, d = generate_rays(camera, width, height, offset=jit2)
+    else:
+        o, d = generate_rays(camera, width, height, key=jitter_key)
+        res = bvh_mod.closest_hit(scene.bvh, o, d, max_steps=max_steps)
     n, gn, uv, mat = bvh_mod.hit_attributes(scene.bvh, res)
 
     hit = res["hit"]

@@ -294,12 +294,19 @@ def _bounce_sort_perm(o, d, lo, hi):
 
 
 def trace_sample(scene: Scene, settings: PathTracerSettings,
-                 origin, direction, key):
-    """One radiance sample per ray.  origin/direction (R, 3)."""
+                 origin, direction, key, with_stats: bool = False):
+    """One radiance sample per ray.  origin/direction (R, 3).
+
+    With `with_stats`, also returns the number of USEFUL rays traced
+    (alive closest-hit rays + unmasked NEE shadow rays) — the numerator of
+    the end-to-end Mrays/s metric.  Dead wavefront rows and masked shadow
+    rows are excluded AND suppressed (t_max = 0), so the count matches the
+    work the kernels actually do."""
     r = origin.shape[0]
     radiance = jnp.zeros((r, 3))
     throughput = jnp.ones((r, 3))
     alive = jnp.ones((r,), bool)
+    rays_traced = jnp.zeros((), jnp.float32)
     o, d = origin, direction
     # Row -> original-pixel mapping, updated when bounce rays are re-sorted.
     order = jnp.arange(r)
@@ -332,11 +339,17 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             radiance, throughput = radiance[perm], throughput[perm]
             alive, order = alive[perm], order[perm]
         key, k_hit, k_rr, k_sun = jax.random.split(key, 4)
+        # Dead rows get t_max = 0: the kernels' accept tests and per-block
+        # cluster shortlists then skip them (no result is read from them).
+        t_cap = 1e30 if bounce == 0 else jnp.where(alive, 1e30, 0.0)
         res = bvh_mod.closest_hit(
-            scene.bvh, o, d, max_steps=settings.max_traversal_steps,
+            scene.bvh, o, d, t_max=t_cap,
+            max_steps=settings.max_traversal_steps,
             regroup=regroup_bounces and bounce > 0,
         )
         hit = res["hit"] & alive
+        rays_traced = rays_traced + (r if bounce == 0
+                                     else jnp.sum(alive.astype(jnp.float32)))
 
         # Miss: environment.
         env = sky_radiance(scene.sky, d)
@@ -369,11 +382,14 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             l_sun = _sample_sun(k_sun, scene.sky)
             l_sun = jnp.broadcast_to(l_sun, (r, 3))
             facing = jnp.sum(n * l_sun, -1) > 0
+            need_sun = hit & facing
             shadowed = bvh_mod.any_hit(
-                scene.bvh, p, l_sun, t_max=jnp.full((r,), 1e30),
+                scene.bvh, p, l_sun,
+                t_max=jnp.where(need_sun, 1e30, 0.0),
                 max_steps=settings.max_traversal_steps,
                 regroup=regroup_bounces and bounce > 0,
             )
+            rays_traced = rays_traced + jnp.sum(need_sun.astype(jnp.float32))
             f, pdf_b = eval_brdf(n, v, l_sun, albedo, rough, metal)
             if settings.multiple_importance_sampling:
                 w_mis = SUN_PDF / (SUN_PDF + pdf_b)
@@ -418,11 +434,15 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             omega = 2.0 * jnp.pi * (1.0 - jnp.sqrt(jnp.maximum(1 - s * s, 0.0)))
             pdf_l = 1.0 / jnp.maximum(0.5 * omega * n_valid, 1e-8)
             facing_pt = jnp.sum(n * l_pt, -1) > 0
+            need_pt = hit & facing_pt & pls.valid[li]
             shadowed_pt = bvh_mod.any_hit(
-                scene.bvh, p, l_pt, t_max=jnp.maximum(dist - 1e-3, 1e-4),
+                scene.bvh, p, l_pt,
+                t_max=jnp.where(need_pt,
+                                jnp.maximum(dist - 1e-3, 1e-4), 0.0),
                 max_steps=settings.max_traversal_steps,
                 regroup=regroup_bounces and bounce > 0,
             )
+            rays_traced = rays_traced + jnp.sum(need_pt.astype(jnp.float32))
             f_pt, pdf_b_pt = eval_brdf(n, v, l_pt, albedo, rough, metal)
             if settings.multiple_importance_sampling:
                 w_mis_pt = pdf_l / (pdf_l + pdf_b_pt)
@@ -456,6 +476,8 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
 
     if sort_rays:
         radiance = jnp.zeros((r, 3)).at[order].set(radiance)
+    if with_stats:
+        return radiance, rays_traced
     return radiance
 
 
@@ -477,11 +499,15 @@ def _tile_perm(width: int, height: int, tile: int = 32):
 
 def render(scene: Scene, camera: Camera, width: int, height: int,
            settings: PathTracerSettings = PathTracerSettings(),
-           spp: int = 8, key: Optional[jnp.ndarray] = None):
+           spp: int = 8, key: Optional[jnp.ndarray] = None,
+           with_stats: bool = False):
     """Render an (H, W, 3) linear-radiance image with `spp` samples/pixel.
 
     Progressive accumulation (reference: numAveragedFrames) = calling this
-    repeatedly with different keys and averaging."""
+    repeatedly with different keys and averaging.  With `with_stats`,
+    returns (image, rays_traced) where rays_traced counts every useful ray
+    the frame dispatched (closest + NEE shadow, all bounces, all samples)
+    — the numerator of the end-to-end Mrays/s benchmark."""
     key = key if key is not None else jax.random.PRNGKey(0)
     perm, inv = _tile_perm(width, height)
 
@@ -490,14 +516,22 @@ def render(scene: Scene, camera: Camera, width: int, height: int,
         f_num = settings.f_number if settings.use_thin_lens else 0.0
         o, d = generate_rays(camera, width, height, key=k_cam,
                              f_number=f_num, focal_length=settings.focal_length)
-        rad = trace_sample(scene, settings, o[perm], d[perm], k_trace)
-        return rad[inv]
+        rad, nrays = trace_sample(scene, settings, o[perm], d[perm], k_trace,
+                                  with_stats=True)
+        return rad[inv], nrays
 
-    def body(i, acc):
-        return acc + one_sample(jax.random.fold_in(key, i))
+    def body(i, carry):
+        acc, rays = carry
+        rad, nrays = one_sample(jax.random.fold_in(key, i))
+        return acc + rad, rays + nrays
 
-    img = jax.lax.fori_loop(0, spp, body, jnp.zeros((height * width, 3)))
-    return (img / spp).reshape(height, width, 3)
+    img, rays = jax.lax.fori_loop(
+        0, spp, body,
+        (jnp.zeros((height * width, 3)), jnp.zeros((), jnp.float32)))
+    img = (img / spp).reshape(height, width, 3)
+    if with_stats:
+        return img, rays
+    return img
 
 
 def tonemap_filmic(x):

@@ -81,6 +81,11 @@ class RendererSettings:
     """Live-tunable settings (reference: renderer_settings,
     main_renderer.h:28-64)."""
 
+    # Primary visibility: "ray" (BVH primary rays) or "raster" (the
+    # tile-binned 2DH rasterizer — ~10x faster at Sponza-class content;
+    # see ops/raster_pallas.py).  The reference rasterizes its depth
+    # prepass in hardware (src/rendering/depth_prepass.h).
+    primary: str = struct.field(pytree_node=False, default="ray")
     enable_ao: bool = struct.field(pytree_node=False, default=True)
     enable_sss: bool = struct.field(pytree_node=False, default=False)
     enable_ssr: bool = struct.field(pytree_node=False, default=True)
@@ -160,7 +165,8 @@ def _half_ctx(gb, frame_state):
 def _stage_gbuffer(scene, camera, prev_camera, decals, key, *, settings,
                    width, height):
     gb = render_gbuffer(scene, camera, width, height,
-                        prev_camera=prev_camera, jitter_key=key)
+                        prev_camera=prev_camera, jitter_key=key,
+                        primary=settings.primary)
     # Decal projection into the G-buffer (reference: tiled decal culling +
     # projection in the opaque pass).
     if decals is not None:
