@@ -327,15 +327,20 @@ def visit_plan(tables: FrameTables, width: int, height: int,
 
 
 def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
-                   q_ref, win_ref, *, ntx, q_bits, group_bits,
-                   tri_rows: bool = False):
+                   q_ref, win_ref, *uv_ref, ntx, q_bits, group_bits,
+                   tri_rows: bool = False, with_uv: bool = False):
     """One (tile, 128-tri batch) visit.
 
     `tri_rows=False` (group path): tbl block is (8, 512) — rows x/y/w,
     lanes [comp*128 + j] for comps (e0, e1, e2, q).
     `tri_rows=True` (pair path): tbl block is (16, 128) — per-tri rows
     [e0x e0y e0w  e1x e1y e1w  e2x e2y e2w  qx qy qw  pad*4], lanes = the
-    visit's 128 gathered pairs."""
+    visit's 128 gathered pairs.
+
+    `with_uv` (tri_rows only) adds a (PX, PRL) output carrying the
+    winner's PERSPECTIVE-CORRECT barycentrics: with the q attribute == 1/w
+    (perspective_rows), lambda_i(p) = e_i(p)/q(p), so u rides lanes
+    [0, PRL/2) and v rides [PRL/2, PRL) of the same replicated block."""
     v = pl.program_id(0)
     word = packed_ref[v]
     tile = word >> (q_bits + group_bits)
@@ -345,6 +350,8 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
     def _init():
         q_ref[:] = jnp.zeros_like(q_ref)
         win_ref[:] = jnp.full_like(win_ref, -1)
+        if with_uv:
+            uv_ref[0][:] = jnp.zeros_like(uv_ref[0])
 
     qq = (word >> group_bits) & ((1 << q_bits) - 1)
     group = word & ((1 << group_bits) - 1)
@@ -394,6 +401,16 @@ def _raster_kernel(packed_ref, base_ref, scale_ref, jitter_ref, tbl_ref,
         q_ref[:] = jnp.broadcast_to(jnp.where(better, q_new, q_best), rep)
         win_ref[:] = jnp.broadcast_to(
             jnp.where(better, win, win_ref[:, 0:1]), rep)
+        if with_uv:
+            qs = jnp.maximum(q_new, 1e-30)
+            e1s = jnp.sum(jnp.where(key == kbest, e1, 0.0), -1,
+                          keepdims=True) / qs
+            e2s = jnp.sum(jnp.where(key == kbest, e2, 0.0), -1,
+                          keepdims=True) / qs
+            lanes = jax.lax.broadcasted_iota(jnp.int32, rep, 1)
+            uv_new = jnp.where(lanes < (PRL // 2), e1s, e2s)
+            uv_ref[0][:] = jnp.where(jnp.broadcast_to(better, rep), uv_new,
+                                     uv_ref[0][:])
 
     # Early-out: bound >= max q any triangle in this group can produce; if
     # every pixel already has a nearer hit the visit cannot win anywhere.
@@ -575,33 +592,45 @@ def visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
 
 def rasterize_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
                     width: int, height: int, jitter=(0.5, 0.5),
-                    interpret: bool = False, pair_cap: int = None):
+                    interpret: bool = False, pair_cap: int = None,
+                    with_uv: bool = False):
     """Exact per-tri binned rasterization -> ROW-MAJOR (q, tri, overflow).
 
     Same output contract as rasterize() (group binning) but ~10x fewer
     kernel pair tests at content scale; `overflow` counts dropped pairs
     plus dropped visits (0 in correct frames — callers needing
-    exactness-or-bust check it and fall back to binning="group")."""
+    exactness-or-bust check it and fall back to binning="group").
+
+    `with_uv` appends ROW-MAJOR (u, v) perspective-correct winner
+    barycentrics computed IN the kernel (requires the perspective attr
+    row, q == 1/w) — replacing a 2M-row table gather that measures ~39 ms
+    at 1080p with ~2 ms of extra kernel writes."""
     ntx, nty = width // TILE_X, height // TILE_Y
     n_tiles = ntx * nty
     (packed, counts, scale2, table, povf, vovf,
      bits) = visit_plan_pairs(tri_v0, tri_e1, tri_e2, tri_valid, mat, attr,
                               width, height, pair_cap)
-    q, win = _run_slabs(packed, counts, scale2, table,
-                        n_tiles=n_tiles, ntx=ntx, q_bits=bits["q_bits"],
-                        group_bits=bits["group_bits"], jitter=jitter,
-                        interpret=interpret, tri_rows=True)
+    out = _run_slabs(packed, counts, scale2, table,
+                     n_tiles=n_tiles, ntx=ntx, q_bits=bits["q_bits"],
+                     group_bits=bits["group_bits"], jitter=jitter,
+                     interpret=interpret, tri_rows=True, with_uv=with_uv)
+    q, win = out[0], out[1]
     qmin = q.reshape(n_tiles, PX).min(-1)
-    return (_unscramble(q, width, height),
-            _unscramble(win, width, height), povf + vovf, qmin)
+    res = (_unscramble(q, width, height),
+           _unscramble(win, width, height), povf + vovf, qmin)
+    if with_uv:
+        res = res + (_unscramble(out[2], width, height),
+                     _unscramble(out[3], width, height))
+    return res
 
 
 def _run_slabs(packed, counts, scale, table, *, n_tiles, ntx, q_bits,
-               group_bits, jitter, interpret, tri_rows):
+               group_bits, jitter, interpret, tri_rows,
+               with_uv: bool = False):
     """Shared slab loop: run the raster kernel over the per-tile visit
     lists.  `table` is (8, 4*GROUP*n_blocks) (group path) or
     (16*n_blocks, 128) (pair path); each visit word's low `group_bits`
-    select its block.  Returns TILE-MAJOR (q, win)."""
+    select its block.  Returns TILE-MAJOR (q, win[, u, v])."""
     pad_t = (-n_tiles) % SLAB_TILES
     counts_p = jnp.pad(counts, (0, pad_t))
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
@@ -630,7 +659,8 @@ def _run_slabs(packed, counts, scale, table, *, n_tiles, ntx, q_bits,
     out_shapes = (
         jax.ShapeDtypeStruct((SLAB_TILES * PX, PRL), jnp.float32),
         jax.ShapeDtypeStruct((SLAB_TILES * PX, PRL), jnp.int32),
-    )
+    ) + ((jax.ShapeDtypeStruct((SLAB_TILES * PX, PRL), jnp.float32),)
+         if with_uv else ())
 
     def one_slab(s):
         base = s * SLAB_TILES
@@ -646,21 +676,29 @@ def _run_slabs(packed, counts, scale, table, *, n_tiles, ntx, q_bits,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # jitter (2,)
                 tbl_spec,
             ],
-            out_specs=(per_px, per_px),
+            out_specs=(per_px,) * len(out_shapes),
         )
-        q, win = pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_raster_kernel, ntx=ntx, q_bits=q_bits,
-                              group_bits=group_bits, tri_rows=tri_rows),
+                              group_bits=group_bits, tri_rows=tri_rows,
+                              with_uv=with_uv),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(words, jnp.full((1,), base, jnp.int32), scale, jit2, table)
+        if with_uv:
+            q, win, uv = out
+            return q[:, 0], win[:, 0], uv[:, 0], uv[:, PRL // 2]
+        q, win = out
         return q[:, 0], win[:, 0]
 
-    q, win = jax.lax.map(one_slab, jnp.arange(n_slabs))
-    q = q.reshape(-1)[:n_tiles * PX]
-    win = win.reshape(-1)[:n_tiles * PX]
+    outs = jax.lax.map(one_slab, jnp.arange(n_slabs))
+    outs = [x.reshape(-1)[:n_tiles * PX] for x in outs]
+    if with_uv:
+        q, win, u, v = outs
+        return q, win, u, v
+    q, win = outs
     return q, win
 
 
@@ -770,11 +808,14 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
         interpret = jax.devices()[0].platform != "tpu"
     wp = width + ((-width) % TILE_X)
     hp = height + ((-height) % TILE_Y)
+    kernel_uv = None
     if binning == "tri" and tables is None and tile_qmin is None:
         mat, attr = perspective_rows(camera, width, height)
-        q, tri, overflow, qmin_out = rasterize_pairs(
+        q, tri, overflow, qmin_out, ku, kv = rasterize_pairs(
             bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_valid, mat, attr,
-            wp, hp, jitter=jitter, interpret=interpret, pair_cap=pair_cap)
+            wp, hp, jitter=jitter, interpret=interpret, pair_cap=pair_cap,
+            with_uv=True)
+        kernel_uv = (ku, kv)
     else:
         if tables is None:
             # The projection maps to UNPADDED pixel coordinates (identical
@@ -787,8 +828,11 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
                                                interpret=interpret,
                                                tile_qmin=tile_qmin)
     if wp != width or hp != height:
-        q = q.reshape(hp, wp)[:height, :width].reshape(-1)
-        tri = tri.reshape(hp, wp)[:height, :width].reshape(-1)
+        def crop(x):
+            return x.reshape(hp, wp)[:height, :width].reshape(-1)
+        q, tri = crop(q), crop(tri)
+        if kernel_uv is not None:
+            kernel_uv = (crop(kernel_uv[0]), crop(kernel_uv[1]))
     hit = tri >= 0
 
     # t from q in closed form: q = 1/w (view depth); the pixel's unit ray
@@ -802,11 +846,17 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
     norm = jnp.sqrt(1.0 + ndc_x[None, :] ** 2 + ndc_y[:, None] ** 2).reshape(-1)
     t = jnp.where(hit, norm / jnp.maximum(q, 1e-30), jnp.inf)
 
-    # Barycentrics from the winner's Moller plane rows (same recompute as
-    # the ray kernel's PACKSEL path, render/bvh.py hit_attributes contract).
-    # ONE packed row gather: winner indices are pixel-coherent, and a single
-    # (T, 8) row fetch measures ~1.5 ms at 2M pixels where four separate
-    # (T, 3)/(T,) gathers cost ~80 ms.
+    if kernel_uv is not None:
+        # Pair path: the kernel emitted the winner's perspective-correct
+        # barycentrics directly (see rasterize_pairs with_uv).
+        uv = jnp.where(hit[:, None],
+                       jnp.stack([kernel_uv[0], kernel_uv[1]], -1), 0.0)
+        return {"t": t, "tri": tri, "uv": uv, "hit": hit,
+                "overflow": overflow, "tile_qmin": qmin_out}
+
+    # Group path: barycentrics from the winner's Moller plane rows (same
+    # recompute as the ray kernel's PACKSEL path, render/bvh.py
+    # hit_attributes contract), via one packed (T, 8) row gather.
     from ..render.camera import generate_rays
     o, d = generate_rays(camera, width, height)
     p = o + jnp.where(hit, t, 0.0)[:, None] * d
@@ -815,8 +865,8 @@ def closest_hit_raster(bvh, camera, width: int, height: int,
         dense.e1p, dense.e1_off[:, None],
         dense.e2p, dense.e2_off[:, None],
     ], -1)
-    # Barrier: fused with its producers, XLA lowers this gather ~20x
-    # slower (37 ms vs 1.8 ms at 2M pixels) — force materialized inputs.
+    # Barrier: fused with its producers, XLA lowers this gather slower —
+    # force materialized inputs.
     table8, ti = jax.lax.optimization_barrier(
         (table8, jnp.maximum(tri, 0)))
     rows = table8[ti]                                        # (R, 8)

@@ -651,23 +651,34 @@ def any_hit(bvh: BVH, origin, direction, t_max, max_steps=512,
 
 
 def hit_attributes(bvh: BVH, res):
-    """Interpolate normal/uv/material at hit points."""
+    """Interpolate normal/uv/material at hit points.
+
+    All per-triangle attributes ride ONE packed (T, 19) row gather: TPU
+    row gathers pay a large per-PASS cost (scalar gathers ~19 ms each at
+    2M rows; a 16-wide row gather ~7-24 ms total depending on table
+    size), so nine separate attribute gathers at content scale cost
+    ~10x more than one packed fetch (measured tmp/gather_prof.py)."""
     tri = jnp.maximum(res["tri"], 0)
     u = res["uv"][:, 0]
     v = res["uv"][:, 1]
     w = 1.0 - u - v
-    n = (
-        w[:, None] * bvh.tri_n0[tri]
-        + u[:, None] * bvh.tri_n1[tri]
-        + v[:, None] * bvh.tri_n2[tri]
-    )
+    gn_t = jnp.cross(bvh.tri_e1, bvh.tri_e2)
+    gn_t = gn_t / jnp.maximum(
+        jnp.linalg.norm(gn_t, axis=-1, keepdims=True), 1e-9)
+    table = jnp.concatenate([
+        bvh.tri_n0, bvh.tri_n1, bvh.tri_n2,          # 0:9
+        bvh.tri_uv0, bvh.tri_uv1, bvh.tri_uv2,       # 9:15
+        gn_t,                                        # 15:18
+        bvh.tri_material[:, None].astype(jnp.float32),  # 18 (exact <2^24)
+    ], -1)
+    # Fused with its producers, XLA lowers the gather far slower — force
+    # materialized inputs (same barrier as the raster uv tail).
+    table, ti = jax.lax.optimization_barrier((table, tri))
+    rows = table[ti]                                 # (R, 19)
+    n = (w[:, None] * rows[:, 0:3] + u[:, None] * rows[:, 3:6]
+         + v[:, None] * rows[:, 6:9])
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
-    uv = (
-        w[:, None] * bvh.tri_uv0[tri]
-        + u[:, None] * bvh.tri_uv1[tri]
-        + v[:, None] * bvh.tri_uv2[tri]
-    )
-    # Geometric normal for robust offsetting.
-    gn = jnp.cross(bvh.tri_e1[tri], bvh.tri_e2[tri])
-    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
-    return n, gn, uv, bvh.tri_material[tri]
+    uv = (w[:, None] * rows[:, 9:11] + u[:, None] * rows[:, 11:13]
+          + v[:, None] * rows[:, 13:15])
+    gn = rows[:, 15:18]
+    return n, gn, uv, rows[:, 18].astype(jnp.int32)
