@@ -79,6 +79,12 @@ class Sky:
     # Optional (6, R, R, 3) cubemap (+X -X +Y -Y +Z -Z); when present it
     # replaces the gradient (the sun disc still adds on top).
     cubemap: jnp.ndarray = None
+    # Optional Preetham analytic daylight (reference:
+    # shaders/sky/sky_procedural_ps.hlsl): scalar turbidity (2-10) selects
+    # the Perez model; None keeps the simple gradient.  `preetham_scale`
+    # maps zenith luminance (kcd/m^2) into the scene's radiance units.
+    turbidity: jnp.ndarray = None
+    preetham_scale: jnp.ndarray = None
 
 
 def sample_cubemap(cube, d):
@@ -167,15 +173,93 @@ def default_sky(sun_direction=(-0.6, 0.8, -0.3)) -> Sky:
     )
 
 
+def preetham_sky(sun_direction=(-0.6, 0.8, -0.3), turbidity: float = 3.0,
+                 scale: float = 0.03, **kw) -> Sky:
+    """Preetham analytic daylight sky (reference:
+    shaders/sky/sky_procedural_ps.hlsl — the procedural sky path)."""
+    base = default_sky(sun_direction)
+    return base.replace(turbidity=jnp.asarray(turbidity, jnp.float32),
+                        preetham_scale=jnp.asarray(scale, jnp.float32), **kw)
+
+
+def _perez(theta_cos, gamma, gamma_cos, coeff):
+    a, b, c, e, f = coeff
+    return ((1.0 + a * jnp.exp(b / jnp.maximum(theta_cos, 0.01)))
+            * (1.0 + c * jnp.exp(e * gamma) + f * gamma_cos ** 2))
+
+
+def _preetham_radiance(sun_dir, turbidity, scale, d):
+    """Perez-function xyY daylight model (Preetham, Shirley, Smits 1999),
+    evaluated per direction -> linear sRGB radiance.  Directions below the
+    horizon clamp to the horizon band (callers blend ground)."""
+    t = turbidity
+    # Perez coefficients (A..E) for Y, x, y as linear functions of T.
+    cy = (0.1787 * t - 1.4630, -0.3554 * t + 0.4275, -0.0227 * t + 5.3251,
+          0.1206 * t - 2.5771, -0.0670 * t + 0.3703)
+    cx = (-0.0193 * t - 0.2592, -0.0665 * t + 0.0008, -0.0004 * t + 0.2125,
+          -0.0641 * t - 0.8989, -0.0033 * t + 0.0452)
+    cyy = (-0.0167 * t - 0.2608, -0.0950 * t + 0.0092, -0.0079 * t + 0.2102,
+           -0.0441 * t - 1.6537, -0.0109 * t + 0.0529)
+
+    cos_ts = jnp.clip(sun_dir[1], -1.0, 1.0)
+    theta_s = jnp.arccos(jnp.clip(cos_ts, 0.0, 1.0))
+    # Zenith values.
+    chi = (4.0 / 9.0 - t / 120.0) * (jnp.pi - 2.0 * theta_s)
+    yz = ((4.0453 * t - 4.9710) * jnp.tan(chi) - 0.2155 * t + 2.4192)
+    yz = jnp.maximum(yz, 1e-3)
+    th = jnp.stack([theta_s ** 3, theta_s ** 2, theta_s,
+                    jnp.ones_like(theta_s)])
+    tv = jnp.stack([t * t, t, jnp.ones_like(t)])
+    mx = jnp.array([[0.00166, -0.02903, 0.11693],
+                    [-0.00375, 0.06377, -0.21196],
+                    [0.00209, -0.03202, 0.06052],
+                    [0.0, 0.00394, 0.25886]], jnp.float32)
+    my = jnp.array([[0.00275, -0.04214, 0.15346],
+                    [-0.00610, 0.08970, -0.26756],
+                    [0.00317, -0.04153, 0.06670],
+                    [0.0, 0.00516, 0.26688]], jnp.float32)
+    xz = th @ mx @ tv
+    yyz = th @ my @ tv
+
+    cos_t = jnp.clip(d[..., 1], 0.01, 1.0)   # clamp below-horizon to band
+    cos_g = jnp.clip(jnp.sum(d * sun_dir, -1), -1.0, 1.0)
+    gamma = jnp.arccos(cos_g)
+
+    def ratio(coeff, zen):
+        return zen * (_perez(cos_t, gamma, cos_g, coeff)
+                      / _perez(jnp.ones_like(theta_s), theta_s, cos_ts,
+                               coeff))
+
+    lum = ratio(cy, yz) * scale
+    x = ratio(cx, xz)
+    y = ratio(cyy, yyz)
+    # xyY -> XYZ -> linear sRGB.
+    ys = jnp.maximum(y, 1e-4)
+    big_x = x * lum / ys
+    big_z = (1.0 - x - ys) * lum / ys
+    xyz = jnp.stack([big_x, lum, big_z], -1)
+    m = jnp.array([[3.2406, -1.5372, -0.4986],
+                   [-0.9689, 1.8758, 0.0415],
+                   [0.0557, -0.2040, 1.0570]], jnp.float32)
+    return jnp.maximum(xyz @ m.T, 0.0)
+
+
 def sky_radiance(sky: Sky, d):
     """Environment lookup for a miss direction (R, 3): textured cubemap when
-    present, procedural gradient otherwise (reference: textured / procedural
-    sky selection, render_algorithms.cpp texturedSky / proceduralSky)."""
+    present, Preetham analytic when `turbidity` is set, procedural gradient
+    otherwise (reference: textured / procedural sky selection,
+    render_algorithms.cpp texturedSky / proceduralSky)."""
     cos_sun = jnp.sum(d * sky.sun_direction, -1, keepdims=True)
     sun = jnp.where(cos_sun > 0.9995, sky.sun_radiance, 0.0)
     if sky.cubemap is not None:
         return sample_cubemap(sky.cubemap, d) + sun
     y = d[..., 1:2]
+    if sky.turbidity is not None:
+        col = _preetham_radiance(sky.sun_direction, sky.turbidity,
+                                 sky.preetham_scale, d)
+        fade = jnp.clip(y / 0.02, 0.0, 1.0)     # horizon band -> ground
+        col = col * fade + sky.ground * (1.0 - fade)
+        return col + sun
     t = jnp.clip(y, 0.0, 1.0) ** 0.6
     col = sky.horizon * (1 - t) + sky.zenith * t
     col = jnp.where(y < 0, sky.ground, col)
