@@ -499,12 +499,11 @@ def bench_rays():
 
             rungs = [
                 ({}, []),
-                ({}, ["SUBCULL"]),
-                ({}, ["SUBCULL", "PACKSEL"]),
-                ({}, ["SUBCULL", "PACKSEL", "EARLYOUT"]),
+                ({}, ["PACKSEL"]),
+                ({}, ["PACKSEL", "EARLYOUT"]),
                 # Shape rung: one ray block per slab, conservative tiles.
                 ({"SLAB_BLOCKS": 1, "RAY_BLOCK": 256},
-                 ["SUBCULL", "PACKSEL", "EARLYOUT"]),
+                 ["PACKSEL", "EARLYOUT"]),
             ]
             for shapes, drop in rungs:
                 over = dict(shapes, **{k: False for k in drop})

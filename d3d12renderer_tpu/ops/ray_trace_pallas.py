@@ -80,23 +80,14 @@ EARLYOUT = _os.environ.get("D3D12TPU_RAY_EARLYOUT", "1") != "0"
 # kernel no longer carries per-ray u/v at all).
 PACKSEL = _os.environ.get("D3D12TPU_RAY_PACKSEL", "1") != "0"
 
-# In-kernel sub-cluster culling (D3D12TPU_RAY_SUBCULL=1 enables): each
-# 1024-tri chunk carries SUB_CLUSTERS 128-tri sub-cluster AABBs (packed into
-# the spare plane-table rows 13/14 at 128-aligned lane offsets).  A visit
-# slab-tests the block's rays against each sub-AABB — (RB, 3) work — and
-# skips the whole (RB, 128) intersection sub-tile when no ray can reach it
-# closer than its current best hit.  This is the lateral complement of the
-# front-to-back early-out: a coherent ray block's narrow frustum usually
-# overlaps a chunk's AABB but only 1-2 of its 8 sub-clusters.
-#
-# Default OFF: measured on v5e (64k rays), the extra per-visit tests LOSE
-# despite the host-side analysis predicting 46-58% skippable sub-tiles —
-# 4.48 vs 3.26 ms @53k tris and 17.5 vs 10.6 ms @495k tris (a whole
-# (RB,128) sub-tile only skips when EVERY ray in the block agrees, which
-# the lax.cond-free masked form can't exploit per-lane).  Kept as an
-# opt-in for scenes with much sparser chunks.
-SUBCULL = _os.environ.get("D3D12TPU_RAY_SUBCULL", "0") == "1"
-SUB_CLUSTERS = 8
+# Sub-cluster culling (a third, in-kernel 128-tri-sub-AABB culling level)
+# was tried and REMOVED (round 5): measured on v5e at 64k rays it lost on
+# every scene — 4.48 vs 3.26 ms @53k tris, 17.5 vs 10.6 ms @495k tris —
+# because a whole (RB, 128) sub-tile only skips when EVERY ray in the
+# block agrees, which the lax.cond-free masked form cannot exploit
+# per-lane.  The two shipping culling levels (per-ray-block cluster
+# shortlists + front-to-back entry early-out) are the ones that win; see
+# docs/PERF.md for the ablation.
 
 # Scoped-VMEM budget for the ray kernels.  The (RAY_BLOCK, TRI_CHUNK)
 # intersection intermediates (~4 MB each at the 1024x1024 default) plus the
@@ -212,20 +203,6 @@ def pack_tris(dense) -> jnp.ndarray:
         jnp.zeros((t, 3), jnp.float32),
     ], axis=-1)
     tbl = jnp.pad(tbl, ((0, pad), (0, 0))).T
-    if (getattr(dense, "sub_lo", None) is not None
-            and (TRI_CHUNK // SUB_CLUSTERS) % 128 == 0):
-        nc = tbl.shape[1] // TRI_CHUNK
-        sw = TRI_CHUNK // SUB_CLUSTERS
-        sl = jnp.asarray(dense.sub_lo, jnp.float32)
-        sh = jnp.asarray(dense.sub_hi, jnp.float32)
-        empty = ~jnp.isfinite(sl[..., 0])
-        sl = jnp.where(empty[..., None], jnp.nan, sl)
-        sh = jnp.where(empty[..., None], jnp.nan, sh)
-        r13 = jnp.zeros((nc, SUB_CLUSTERS, sw), jnp.float32)
-        r13 = r13.at[:, :, :3].set(sl)
-        r14 = jnp.zeros((nc, SUB_CLUSTERS, sw), jnp.float32)
-        r14 = r14.at[:, :, :3].set(sh)
-        tbl = tbl.at[13].set(r13.reshape(-1)).at[14].set(r14.reshape(-1))
     return tbl
 
 
@@ -355,7 +332,7 @@ def regroup_perm(o, d, lo, hi, obits=4, dbits=4):
 
 def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
                    t_ref, tri_id_ref, u_ref=None, v_ref=None, *, entry_bits,
-                   chunk_bits, any_hit=False, subcull=False):
+                   chunk_bits, any_hit=False):
     """Same math as _kernel, but grid step v processes the visit
     packed[v] = blk | entry_q | chunk (see _flat_visits): the BlockSpecs
     route the right ray block and triangle chunk in, and outputs re-init
@@ -412,30 +389,7 @@ def _culled_kernel(packed_ref, scale_ref, o_ref, d_ref, tmax_ref, tri_ref,
                 jnp.where(better, vk, v_ref[:, 0:1]), rep)
 
     def _visit():
-        if not subcull:
-            _do_tile(0, tri_ref.shape[1])
-            return
-        # Sub-cluster skip: slab-test every ray against each 128-tri
-        # sub-AABB (rows 13/14 of the table; NaN rows = empty, all
-        # comparisons false) and drop whole sub-tiles nobody can reach
-        # before their current best hit.  Sequential updates tighten
-        # t_ref between sub-tiles, so later ones prune harder.
-        o = o_ref[:]
-        d = d_ref[:]
-        inv_d = 1.0 / jnp.where(
-            jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
-        sw = tri_ref.shape[1] // SUB_CLUSTERS
-        for j in range(SUB_CLUSTERS):
-            lo_j = tri_ref[13, j * sw:j * sw + 3]
-            hi_j = tri_ref[14, j * sw:j * sw + 3]
-            t0 = (lo_j[None, :] - o) * inv_d
-            t1 = (hi_j[None, :] - o) * inv_d
-            tmin = jnp.maximum(
-                jnp.minimum(t0, t1).max(-1, keepdims=True), 1e-4)
-            tmax = jnp.maximum(t0, t1).min(-1, keepdims=True)
-            reach = (tmax >= tmin) & (tmin < t_ref[:, 0:1])  # (RB, 1)
-            pl.when(jnp.any(reach))(
-                functools.partial(_do_tile, j * sw, sw))
+        _do_tile(0, tri_ref.shape[1])
 
     if EARLYOUT:
         entry_lo = ((word >> chunk_bits) & ((1 << entry_bits) - 1)
@@ -505,8 +459,6 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
     tbl = pack_tris(dense)
     t_count = tbl.shape[1]
     nc = t_count // TRI_CHUNK
-    subcull = (SUBCULL and getattr(dense, "sub_lo", None) is not None
-               and (TRI_CHUNK // SUB_CLUSTERS) % 128 == 0)
     # Even at one ray block per slab, the prefetched (1 x nc) chunk-id table
     # must fit the ~16 KB SMEM budget.
     assert nc <= 4096, (
@@ -573,8 +525,7 @@ def closest_hit_pallas_culled(dense, origin, direction, t_max=1e30,
         )
         kouts = pl.pallas_call(
             functools.partial(_culled_kernel, entry_bits=entry_bits,
-                              chunk_bits=chunk_bits, any_hit=any_hit,
-                              subcull=subcull),
+                              chunk_bits=chunk_bits, any_hit=any_hit),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             compiler_params=_VMEM_LIMIT,

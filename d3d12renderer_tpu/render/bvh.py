@@ -54,14 +54,14 @@ class BVH:
     dense: "DenseTris" = None
 
 
-BVH_CACHE_VERSION = 3  # v3: sub-cluster AABBs only when SUBCULL opted in
+BVH_CACHE_VERSION = 4  # v4: sub-cluster AABB tables removed (round 5)
 BVH_CACHE_MIN_TRIS = 50_000   # don't litter the cache with tiny test scenes
 _BVH_FIELDS = ("node_min", "node_max", "node_first", "node_count",
                "node_miss", "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1",
                "tri_n2", "tri_uv0", "tri_uv1", "tri_uv2", "tri_material",
                "tri_valid")
 _DENSE_FIELDS = ("n", "n_off", "e1p", "e1_off", "e2p", "e2_off", "valid",
-                 "cluster_lo", "cluster_hi", "sub_lo", "sub_hi")
+                 "cluster_lo", "cluster_hi")
 
 
 def _bvh_cache_dir() -> str:
@@ -77,12 +77,11 @@ def _bvh_cache_dir() -> str:
 def _bvh_cache_key(meshes, use_dense: bool) -> str:
     import hashlib
 
-    from ..ops.ray_trace_pallas import SUB_CLUSTERS, SUBCULL, TRI_CHUNK
+    from ..ops.ray_trace_pallas import TRI_CHUNK
 
     h = hashlib.blake2b(digest_size=20)
     h.update(f"v{BVH_CACHE_VERSION}|leaf{LEAF_SIZE}|dense{int(use_dense)}"
-             f"|chunk{TRI_CHUNK}|sub{SUB_CLUSTERS if SUBCULL else 0}"
-             f"|dmax{DENSE_MAX_TRIS}".encode())
+             f"|chunk{TRI_CHUNK}|dmax{DENSE_MAX_TRIS}".encode())
     for mesh, mat_id in meshes:
         for a in (mesh.positions, mesh.normals, mesh.uvs, mesh.indices):
             arr = np.ascontiguousarray(a)
@@ -401,13 +400,9 @@ class DenseTris:
     valid: jnp.ndarray      # (T,)
     cluster_lo: jnp.ndarray = None  # (ceil(T/TRI_CHUNK), 3)
     cluster_hi: jnp.ndarray = None
-    sub_lo: jnp.ndarray = None      # (ceil(T/TRI_CHUNK), SUB_CLUSTERS, 3)
-    sub_hi: jnp.ndarray = None      # 128-tri sub-cluster AABBs (in-kernel
-                                    # sub-tile culling; packed into plane-
-                                    # table rows 13/14 by pack_tris)
 
 
-def build_dense(bvh: BVH, with_sub: Optional[bool] = None) -> DenseTris:
+def build_dense(bvh: BVH) -> DenseTris:
     v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
     n = jnp.cross(e1, e2)
     nn = jnp.sum(n * n, -1, keepdims=True)
@@ -418,7 +413,7 @@ def build_dense(bvh: BVH, with_sub: Optional[bool] = None) -> DenseTris:
 
     # Per-chunk AABBs over the leaf-ordered soup; padding rows contribute
     # inverted (+inf/-inf) bounds so empty chunks never pass the slab test.
-    from ..ops.ray_trace_pallas import SUB_CLUSTERS, TRI_CHUNK
+    from ..ops.ray_trace_pallas import TRI_CHUNK
     t = v0.shape[0]
     pad = (-t) % TRI_CHUNK
     tlo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2)
@@ -430,20 +425,6 @@ def build_dense(bvh: BVH, with_sub: Optional[bool] = None) -> DenseTris:
     thi = jnp.pad(thi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
     cluster_lo = tlo.reshape(-1, TRI_CHUNK, 3).min(axis=1)
     cluster_hi = thi.reshape(-1, TRI_CHUNK, 3).max(axis=1)
-    # Sub-cluster AABBs: SUB_CLUSTERS column ranges per chunk, for the
-    # in-kernel sub-tile skip (empty sub-AABBs stay +inf/-inf: slab-test
-    # rejected, so padded sub-tiles are never visited).  Sub-cluster
-    # culling LOSES on every measured scene (docs/ROADMAP.md), so the
-    # tables are built only when the opt-in flag is set — default builds
-    # pay nothing at build, pack, or cache time (VERDICT r3 #10).
-    if with_sub is None:
-        from ..ops.ray_trace_pallas import SUBCULL as with_sub
-    sub_lo = sub_hi = None
-    if with_sub:
-        sub_lo = tlo.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
-                             3).min(axis=2)
-        sub_hi = thi.reshape(-1, SUB_CLUSTERS, TRI_CHUNK // SUB_CLUSTERS,
-                             3).max(axis=2)
 
     return DenseTris(
         n=n,
@@ -455,8 +436,6 @@ def build_dense(bvh: BVH, with_sub: Optional[bool] = None) -> DenseTris:
         valid=bvh.tri_valid,
         cluster_lo=cluster_lo,
         cluster_hi=cluster_hi,
-        sub_lo=sub_lo,
-        sub_hi=sub_hi,
     )
 
 

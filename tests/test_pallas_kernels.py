@@ -286,52 +286,3 @@ def test_ray_trace_packsel_matches_onehot(monkeypatch):
     np.testing.assert_allclose(np.asarray(fast["uv"])[m][same],
                                np.asarray(ref["uv"])[m][same],
                                rtol=2e-3, atol=2e-3)
-
-
-def test_ray_trace_subcull_matches_full_visits(monkeypatch):
-    """In-kernel sub-cluster culling (SUBCULL: 128-tri sub-AABB slab tests
-    skipping whole sub-tiles) is exact — identical results to visiting the
-    full 1024-column chunk."""
-    from d3d12renderer_tpu.ops import ray_trace_pallas as rtp
-    from d3d12renderer_tpu.render import bvh as bvh_mod
-    from d3d12renderer_tpu.render import mesh as mesh_mod
-
-    rng = np.random.default_rng(7)
-    meshes = []
-    for i in range(6):
-        s = mesh_mod.uv_sphere(0.5 + 0.1 * i, 16, 24).transformed(
-            translate=tuple(rng.uniform(-3, 3, 3)))
-        meshes.append((s, i))
-    b = bvh_mod.build_bvh(meshes)
-    # Default builds carry no sub-cluster tables (SUBCULL loses everywhere
-    # measured; VERDICT r3 #10) — opt in explicitly for this parity test.
-    assert b.dense.sub_lo is None
-    b = b.replace(dense=bvh_mod.build_dense(b, with_sub=True))
-    assert b.dense.sub_lo is not None
-    # Tail chunk has empty (NaN-packed) sub-clusters unless T % 1024 == 0.
-    R = 2000
-    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
-    d = rng.normal(size=(R, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    tm = rng.uniform(0.5, 10.0, (R,)).astype(np.float32)
-
-    monkeypatch.setattr(rtp, "SUBCULL", True)
-    fast = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
-                                         jnp.asarray(d), interpret=True)
-    fh = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
-                                       jnp.asarray(d), t_max=jnp.asarray(tm),
-                                       interpret=True, any_hit=True)
-    monkeypatch.setattr(rtp, "SUBCULL", False)
-    ref = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
-                                        jnp.asarray(d), interpret=True)
-    rh = rtp.closest_hit_pallas_culled(b.dense, jnp.asarray(o),
-                                       jnp.asarray(d), t_max=jnp.asarray(tm),
-                                       interpret=True, any_hit=True)
-    for k in ("hit", "t", "tri"):
-        np.testing.assert_array_equal(np.asarray(fast[k]),
-                                      np.asarray(ref[k]), err_msg=k)
-    np.testing.assert_array_equal(np.asarray(fast["uv"]),
-                                  np.asarray(ref["uv"]))
-    np.testing.assert_array_equal(np.asarray(fh["hit"]),
-                                  np.asarray(rh["hit"]))
-    assert np.asarray(fast["hit"]).sum() > 50

@@ -76,7 +76,7 @@ def rows():
         from d3d12renderer_tpu.ops import ray_trace_pallas as rtp
 
         def with_flags(fn, **flags):
-            """Trace-time flag toggle: PACKSEL/SUBCULL etc. are read when
+            """Trace-time flag toggle: PACKSEL/EARLYOUT etc. are read when
             the kernel traces, so setting them inside the jitted fn body
             bakes them into that row's compile only."""
             def wrapped(*a):
@@ -91,16 +91,10 @@ def rows():
             return wrapped
 
         hit_t = lambda o, d: closest_hit_pallas(b.dense, o, d)["t"]  # noqa: E731
-        # Default dense tables carry no sub-cluster AABBs; the SUBCULL
-        # ablation needs its own sub-enabled build.
-        dsub = bvh_mod.build_dense(b, with_sub=True)
-        sub_t = lambda o, d: closest_hit_pallas(dsub, o, d)["t"]  # noqa: E731
         yield ("pallas culled rays, coherent tiles (64k rays, 53k tris)",
                hit_t, (o, dc))
         yield ("  ablation: packed-key select OFF",
                with_flags(hit_t, PACKSEL=False), (o, dc))
-        yield ("  ablation: sub-cluster culling ON",
-               with_flags(sub_t, SUBCULL=True), (o, dc))
         yield ("  ablation: occlusion early-out OFF",
                with_flags(hit_t, EARLYOUT=False), (o, dc))
         yield ("pallas culled rays, incoherent (64k rays, 53k tris)",
@@ -124,13 +118,9 @@ def rows():
             db /= np.linalg.norm(db, axis=-1, keepdims=True)
             db = jnp.asarray(db)
             big_t = lambda o, d: closest_hit_pallas(bb.dense, o, d)["t"]  # noqa: E731
-            bsub = bvh_mod.build_dense(bb, with_sub=True)
-            bsub_t = lambda o, d: closest_hit_pallas(bsub, o, d)["t"]  # noqa: E731
             big_rows = [
                 (f"pallas culled rays, coherent (64k rays, {ntb // 1000}k tris)",
                  big_t, (o, dc)),
-                ("  ablation: sub-cluster culling ON (big scene)",
-                 with_flags(bsub_t, SUBCULL=True), (o, dc)),
                 (f"pallas culled rays, incoherent + regroup ({ntb // 1000}k tris)",
                  lambda o, d: closest_hit_pallas(bb.dense, o, d,
                                                  regroup=True)["t"], (o, db)),
