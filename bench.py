@@ -10,6 +10,7 @@ Usage: python bench.py [--smoke] [--batch N] [--steps N] [--platform cpu|axon]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -137,8 +138,9 @@ def main():
     parity = {} if args.smoke else bench_fused_parity(platform)
     ray = {} if args.smoke else bench_rays()
     phys = {} if args.smoke else bench_physics_scale(platform)
-    pt_e2e = {} if args.smoke else bench_pt_e2e()
-    raster = {} if args.smoke else bench_raster_frame()
+    pt_e2e = {} if args.smoke else _leg_in_subprocess("bench_pt_e2e", 2100)
+    raster = {} if args.smoke else _leg_in_subprocess(
+        "bench_raster_frame", 2100)
 
     print(json.dumps({
         "metric": "loco_env_steps_per_sec",
@@ -202,6 +204,39 @@ def bench_fused_parity(platform):
                 "fused_parity_steps": steps}
     except Exception as e:
         return {"fused_parity_error": str(e)[:200]}
+
+
+def _leg_in_subprocess(fn_name: str, timeout_s: int) -> dict:
+    """Run `bench.<fn_name>()` in a fresh process, return its JSON dict.
+
+    The heavy renderer legs compile multi-minute programs and can hit
+    TPU-side faults that wedge the client; isolation means a fault or hang
+    costs ONE leg (an `<leg>_error`/`<leg>_timeout` key), never the whole
+    bench run."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r); sys.argv=['bench'];\n"
+        "import jax; jax.config.update('jax_platforms', 'axon')\n"
+        "import bench\n"
+        "print('LEGJSON ' + json.dumps(getattr(bench, %r)()))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), fn_name)
+    )
+    try:
+        p = subprocess.run([_sys.executable, "-u", "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        for line in p.stdout.splitlines():
+            if line.startswith("LEGJSON "):
+                return _json.loads(line[len("LEGJSON "):])
+        return {fn_name + "_error":
+                (p.stderr.strip().splitlines() or ["no output"])[-1][:200]}
+    except subprocess.TimeoutExpired:
+        return {fn_name + "_timeout_s": timeout_s}
+    except Exception as e:
+        return {fn_name + "_error": str(e)[:200]}
 
 
 def bench_raster_frame():

@@ -75,7 +75,11 @@ def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
     else:
         o, d = generate_rays(camera, width, height, key=jitter_key)
         res = bvh_mod.closest_hit(scene.bvh, o, d, max_steps=max_steps)
-    n, gn, uv, mat = bvh_mod.hit_attributes(scene.bvh, res)
+    # One packed row gather serves normals/uv/material constants (TPU row
+    # gathers pay per PASS: five separate material fetches at 2M pixels
+    # measured ~10x one 28-wide row).
+    n, gn, uv, mat, albedo, rough, metal, emissive = \
+        bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res)
 
     hit = res["hit"]
     t = jnp.where(hit, res["t"], jnp.inf)
@@ -86,13 +90,6 @@ def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
 
     vp = _world_to_view(camera, wp)
     vn = m.quat_inv_rotate(camera.rotation[None], n)
-
-    from .pathtracer import sample_albedo
-
-    albedo = sample_albedo(scene.materials, mat, uv)
-    rough = scene.materials.roughness[mat]
-    metal = scene.materials.metallic[mat]
-    emissive = scene.materials.emissive[mat]
 
     # Motion vectors: pixel now minus pixel in the previous camera
     # (reference: screen velocities in the depth prepass).

@@ -441,11 +441,10 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
             (alive & ~res["hit"])[:, None], throughput * env, 0.0
         )
 
-        n, gn, uv, mat = bvh_mod.hit_attributes(scene.bvh, res)
-        albedo = sample_albedo(scene.materials, mat, uv)
-        rough = scene.materials.roughness[mat]
-        metal = scene.materials.metallic[mat]
-        emissive = scene.materials.emissive[mat]
+        # One packed row gather for geometry + material attributes (TPU
+        # row gathers pay per pass; see bvh.hit_attributes_shaded).
+        n, gn, uv, mat, albedo, rough, metal, emissive = \
+            bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res)
 
         # Two-sided shading: orient the geometric normal against the ray, then
         # align the interpolated normal with it (winding-robust).
