@@ -273,7 +273,8 @@ def bench_raster_frame():
             roughness=jnp.array([0.6, 0.7, 0.55, 0.65, 0.15, 0.8]),
             metallic=jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
         )
-        scene = pt.Scene(bvh=bvh, materials=mats, sky=pt.default_sky())
+        scene = pt.Scene(bvh=bvh, materials=mats,
+                         sky=pt.default_sky()).with_shading_table()
         cam = look_at((8.0, 6.0, -14.0), (0.0, 3.0, 0.0),
                       v_fov=math.radians(60), aspect=w / h)
         settings = RendererSettings(primary="raster", half_res_effects=True)
@@ -344,7 +345,8 @@ def bench_pt_e2e():
             roughness=jnp.array([0.6, 0.7, 0.55, 0.65, 0.15, 0.8]),
             metallic=jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
         )
-        scene = pt.Scene(bvh=bvh, materials=mats, sky=pt.default_sky())
+        scene = pt.Scene(bvh=bvh, materials=mats,
+                         sky=pt.default_sky()).with_shading_table()
         cam = look_at((8.0, 6.0, -14.0), (0.0, 3.0, 0.0),
                       v_fov=math.radians(60), aspect=w / h)
         settings = pt.PathTracerSettings(recursion_depth=3)

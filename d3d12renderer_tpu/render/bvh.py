@@ -653,7 +653,10 @@ def hit_attributes(bvh: BVH, res):
     # Fused with its producers, XLA lowers the gather far slower — force
     # materialized inputs (same barrier as the raster uv tail).
     table, ti = jax.lax.optimization_barrier((table, tri))
-    rows = table[ti]                                 # (R, 19)
+    # Barrier the gather OUTPUT too: with multiple consumers (n, uv, gn,
+    # material slices) XLA otherwise REMATERIALIZES the 2M-row gather per
+    # consumer fusion (~26 ms each on v5e).
+    rows = jax.lax.optimization_barrier(table[ti])   # (R, 19)
     n = (w[:, None] * rows[:, 0:3] + u[:, None] * rows[:, 3:6]
          + v[:, None] * rows[:, 6:9])
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
@@ -663,21 +666,11 @@ def hit_attributes(bvh: BVH, res):
     return n, gn, uv, rows[:, 18].astype(jnp.int32)
 
 
-def hit_attributes_shaded(bvh: BVH, materials, res):
-    """hit_attributes + the hit's material values, ONE packed row gather.
-
-    Material constants (albedo tint, roughness, metallic, emissive,
-    texture index) are expanded per TRIANGLE into the same packed table as
-    the geometric attributes, so the whole G-buffer shading input costs a
-    single (T, 28) fetch instead of one big row gather plus five
-    per-material gathers (two of them scalar, ~19 ms each at 2M pixels).
-    Texture modulation still samples the atlas per pixel when present.
-
-    Returns (n, gn, uv, mat_id, albedo, roughness, metallic, emissive)."""
-    tri = jnp.maximum(res["tri"], 0)
-    u = res["uv"][:, 0]
-    v = res["uv"][:, 1]
-    w = 1.0 - u - v
+def build_shading_table(bvh: BVH, materials) -> jnp.ndarray:
+    """(T, 28) packed per-triangle shading attributes: geometric rows +
+    material constants expanded per triangle.  FRAME-INVARIANT — compute
+    once per scene (Scene.with_shading_table) and reuse every frame;
+    building it inline costs ~38 ms at 260k tris on v5e."""
     gn_t = jnp.cross(bvh.tri_e1, bvh.tri_e2)
     gn_t = gn_t / jnp.maximum(
         jnp.linalg.norm(gn_t, axis=-1, keepdims=True), 1e-9)
@@ -685,7 +678,7 @@ def hit_attributes_shaded(bvh: BVH, materials, res):
     tex = (materials.albedo_texture[mt][:, None].astype(jnp.float32)
            if materials.texture_atlas is not None
            else jnp.full((mt.shape[0], 1), -1.0))
-    table = jnp.concatenate([
+    return jnp.concatenate([
         bvh.tri_n0, bvh.tri_n1, bvh.tri_n2,              # 0:9
         bvh.tri_uv0, bvh.tri_uv1, bvh.tri_uv2,           # 9:15
         gn_t,                                            # 15:18
@@ -696,8 +689,31 @@ def hit_attributes_shaded(bvh: BVH, materials, res):
         materials.emissive[mt],                          # 24:27
         tex,                                             # 27
     ], -1)
+
+
+def hit_attributes_shaded(bvh: BVH, materials, res, table=None):
+    """hit_attributes + the hit's material values, ONE packed row gather.
+
+    Material constants (albedo tint, roughness, metallic, emissive,
+    texture index) are expanded per TRIANGLE into the same packed table as
+    the geometric attributes, so the whole G-buffer shading input costs a
+    single (T, 28) fetch instead of one big row gather plus five
+    per-material gathers (two of them scalar, ~19 ms each at 2M pixels).
+    Texture modulation still samples the atlas per pixel when present.
+
+    Pass a precomputed `table` (build_shading_table / Scene.attr_table)
+    for per-frame rendering — it is frame-invariant.
+
+    Returns (n, gn, uv, mat_id, albedo, roughness, metallic, emissive)."""
+    tri = jnp.maximum(res["tri"], 0)
+    u = res["uv"][:, 0]
+    v = res["uv"][:, 1]
+    w = 1.0 - u - v
+    if table is None:
+        table = build_shading_table(bvh, materials)
     table, ti = jax.lax.optimization_barrier((table, tri))
-    rows = table[ti]                                     # (R, 28)
+    # See hit_attributes: output barrier prevents per-consumer gather remat.
+    rows = jax.lax.optimization_barrier(table[ti])       # (R, 28)
     n = (w[:, None] * rows[:, 0:3] + u[:, None] * rows[:, 3:6]
          + v[:, None] * rows[:, 6:9])
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)

@@ -79,7 +79,8 @@ def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
     # gathers pay per PASS: five separate material fetches at 2M pixels
     # measured ~10x one 28-wide row).
     n, gn, uv, mat, albedo, rough, metal, emissive = \
-        bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res)
+        bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res,
+                                      table=scene.attr_table)
 
     hit = res["hit"]
     t = jnp.where(hit, res["t"], jnp.inf)

@@ -133,6 +133,17 @@ class Scene:
     # shaders/raytracing/path_tracing_rts.hlsl:341-366).  Shares the raster
     # pipeline's PointLights table (position, radiance color, falloff radius).
     point_lights: Optional["PointLights"] = None
+    # Precomputed (T, 28) packed shading-attribute table (see
+    # bvh.hit_attributes_shaded).  Frame-INVARIANT (bvh + materials only):
+    # building it inside the frame costs ~38 ms at 260k tris on v5e, so
+    # construct scenes with `with_shading_table()` for per-frame rendering.
+    attr_table: Optional[jnp.ndarray] = None
+
+    def with_shading_table(self) -> "Scene":
+        from . import bvh as bvh_mod
+
+        return self.replace(attr_table=bvh_mod.build_shading_table(
+            self.bvh, self.materials))
 
 
 @struct.dataclass
@@ -444,7 +455,8 @@ def trace_sample(scene: Scene, settings: PathTracerSettings,
         # One packed row gather for geometry + material attributes (TPU
         # row gathers pay per pass; see bvh.hit_attributes_shaded).
         n, gn, uv, mat, albedo, rough, metal, emissive = \
-            bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res)
+            bvh_mod.hit_attributes_shaded(scene.bvh, scene.materials, res,
+                                          table=scene.attr_table)
 
         # Two-sided shading: orient the geometric normal against the ray, then
         # align the interpolated normal with it (winding-robust).
