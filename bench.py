@@ -278,9 +278,26 @@ def bench_raster_frame():
         cam = look_at((8.0, 6.0, -14.0), (0.0, 3.0, 0.0),
                       v_fov=math.radians(60), aspect=w / h)
         settings = RendererSettings(primary="raster", half_res_effects=True)
-        maps = _fit_cascades_jit(cam.position, scene.sky.sun_direction)
-        maps = _render_sun_shadow_maps_jit(scene.bvh, maps, resolution=512)
-        jax.block_until_ready(maps)
+        # The 786k-ray cascade render intermittently crashes the tunneled
+        # TPU worker (~50% observed); retry once, then measure the frame
+        # with shadows disabled rather than losing the whole leg.
+        maps, shadow_note = None, "cached"
+        for attempt in range(2):
+            try:
+                maps = _fit_cascades_jit(cam.position,
+                                         scene.sky.sun_direction)
+                maps = _render_sun_shadow_maps_jit(scene.bvh, maps,
+                                                   resolution=512)
+                jax.block_until_ready(maps)
+                break
+            except Exception:
+                maps = None
+                shadow_note = "disabled (shadow render crashed the worker)"
+                time.sleep(120)
+        if maps is None:
+            settings = RendererSettings(primary="raster",
+                                        half_res_effects=True,
+                                        enable_shadows=False)
 
         fs = initial_frame_state(w, h)
         key = jax.random.PRNGKey(0)
@@ -289,7 +306,7 @@ def bench_raster_frame():
             ldr, fs, _ = render_frame(
                 scene, cam, w, h, settings, shadow_maps=maps,
                 frame_state=fs, prev_camera=cam,
-                key=jax.random.fold_in(key, i), dispatch="grouped")
+                key=jax.random.fold_in(key, i), dispatch="per_pass")
             return ldr, fs
 
         ldr, fs = frame(fs, 0)
@@ -309,6 +326,7 @@ def bench_raster_frame():
             # round-5 target: <= 33 ms/frame on one chip.
             "raster_atrium_vs_target": round(33.0 / ms, 3),
             "raster_frame_mean": round(float(jnp.mean(ldr)), 4),
+            "raster_shadows": shadow_note,
         }
     except Exception as e:
         return {"raster_atrium_error": str(e)[:300]}
