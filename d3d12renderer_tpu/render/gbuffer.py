@@ -71,6 +71,10 @@ def render_gbuffer(scene: Scene, camera: Camera, width: int, height: int,
             jit2 = jnp.full((2,), 0.5)
         res = rp.closest_hit_raster(scene.bvh, camera, width, height,
                                     jitter=jit2)
+        # One materialization: every G-buffer field consumes res, and
+        # without a fence XLA can rematerialize raster work per consumer.
+        res = dict(zip(res.keys(), jax.lax.optimization_barrier(
+            tuple(res.values()))))
         o, d = generate_rays(camera, width, height, offset=jit2)
     else:
         o, d = generate_rays(camera, width, height, key=jitter_key)

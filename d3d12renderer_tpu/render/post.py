@@ -214,9 +214,13 @@ def sobel(img):
 
 
 def downsample2(img):
+    """2x box downsample via reshape-mean: lane-strided slices
+    (x[:, 0::2]) lower to ~20 ms at 1080p on TPU where the reshape
+    form is a plain relayout."""
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
     x = img[:h, :w]
-    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+    ch = x.shape[2:]
+    return x.reshape((h // 2, 2, w // 2, 2) + ch).mean(axis=(1, 3))
 
 
 def upsample2(img, target_hw):
@@ -238,25 +242,40 @@ def bilateral_upsample(low, depth_low, depth_full, sigma_z=0.5):
     fx = (jnp.arange(w) + 0.5) / 2.0 - 0.5
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h2 - 1)
     x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w2 - 1)
-    y1 = jnp.minimum(y0 + 1, h2 - 1)
-    x1 = jnp.minimum(x0 + 1, w2 - 1)
     wy = jnp.clip(fy - y0, 0.0, 1.0)[:, None]
     wx = jnp.clip(fx - x0, 0.0, 1.0)[None, :]
+
+    # The tap reads are SEPARABLE with static structure: full-res row i
+    # reads low rows (i-1)//2 and (i+1)//2 (clamped), i.e. edge-clamped
+    # shifts of a 2x row repeat — same along columns.  Expressed as
+    # repeat+concat they are plain vector ops; the naive 2D fancy-index
+    # form lowers to four ~20 ms gathers per array at 1080p.  (At the
+    # image border the zero-weight tap clamps to row/col 0 instead of 1;
+    # it only surfaces when every real tap's depth weight underflows —
+    # a 1-px edge case the 1e-6 floor decides either way.)
+    def tap(img, oy, ox):
+        a = jnp.repeat(img, 2, axis=0)[:h]
+        a = (jnp.concatenate([a[:1], a[:-1]], 0) if oy == 0
+             else jnp.concatenate([a[1:], a[-1:]], 0))
+        a = jnp.repeat(a, 2, axis=1)[:, :w]
+        a = (jnp.concatenate([a[:, :1], a[:, :-1]], 1) if ox == 0
+             else jnp.concatenate([a[:, 1:], a[:, -1:]], 1))
+        return a
 
     vec = low.ndim == 3
     num = jnp.zeros((h, w) + ((low.shape[-1],) if vec else ()))
     den = jnp.zeros((h, w))
     taps = [
-        (y0, x0, (1 - wy) * (1 - wx)),
-        (y0, x1, (1 - wy) * wx),
-        (y1, x0, wy * (1 - wx)),
-        (y1, x1, wy * wx),
+        (0, 0, (1 - wy) * (1 - wx)),
+        (0, 1, (1 - wy) * wx),
+        (1, 0, wy * (1 - wx)),
+        (1, 1, wy * wx),
     ]
-    for ty, tx, wb in taps:
-        d = depth_low[ty[:, None], tx[None, :]]
+    for oy, ox, wb in taps:
+        d = tap(depth_low, oy, ox)
         wz = jnp.exp(-jnp.abs(depth_full - d) / sigma_z)
         wt = wb * wz + 1e-6
-        v = low[ty[:, None], tx[None, :]]
+        v = tap(low, oy, ox)
         num = num + (wt[..., None] * v if vec else wt * v)
         den = den + wt
     return num / (den[..., None] if vec else den)
