@@ -28,16 +28,21 @@ mats = pt.Materials(
     roughness=jnp.array([0.6, 0.7, 0.55, 0.65, 0.15, 0.8]),
     metallic=jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
 )
-scene = pt.Scene(bvh=bvh, materials=mats, sky=pt.default_sky())
+scene = pt.Scene(bvh=bvh, materials=mats, sky=pt.default_sky()).with_shading_table()
 cam = look_at((8.0, 6.0, -14.0), (0.0, 3.0, 0.0),
               v_fov=math.radians(60), aspect=w / h)
 stamp("shadow maps...")
-maps = _fit_cascades_jit(cam.position, scene.sky.sun_direction)
-maps = _render_sun_shadow_maps_jit(scene.bvh, maps, resolution=512)
-jax.block_until_ready(maps)
-stamp("shadow maps done")
-
-settings = RendererSettings(primary="raster", half_res_effects=True)
+try:
+    maps = _fit_cascades_jit(cam.position, scene.sky.sun_direction)
+    maps = _render_sun_shadow_maps_jit(scene.bvh, maps, resolution=512)
+    jax.block_until_ready(maps)
+    stamp("shadow maps done")
+    settings = RendererSettings(primary="raster", half_res_effects=True)
+except Exception as e:
+    stamp(f"shadow maps failed ({type(e).__name__}); shadows disabled")
+    maps = None
+    settings = RendererSettings(primary="raster", half_res_effects=True,
+                                enable_shadows=False)
 fs = initial_frame_state(w, h)
 key = jax.random.PRNGKey(0)
 
@@ -45,22 +50,27 @@ def frame(fs, i, profile=False):
     ldr, fs, aux = render_frame(
         scene, cam, w, h, settings, shadow_maps=maps,
         frame_state=fs, prev_camera=cam,
-        key=jax.random.fold_in(key, i), dispatch="grouped",
+        key=jax.random.fold_in(key, i), dispatch="per_pass",
         profile_stages=profile)
     return ldr, fs, aux
 
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
 stamp("first frame (compile)...")
 ldr, fs, aux = frame(fs, 0, profile=True)
-jax.block_until_ready(ldr)
+sync(ldr)
 stamp("first frame done; stages: " + str({k: round(v*1e3,1) for k,v in aux.get("stage_seconds", {}).items()}))
 for rep in range(3):
     t0 = time.perf_counter()
     for i in range(5):
         ldr, fs, aux = frame(fs, rep*5+i+1)
-    jax.block_until_ready(ldr)
+    sync(ldr)
     stamp(f"rep {rep}: {(time.perf_counter()-t0)/5*1e3:.1f} ms/frame")
 # profiled steady frame
 ldr, fs, aux = frame(fs, 99, profile=True)
 stamp("steady stages: " + str({k: round(v*1e3,1) for k,v in aux.get("stage_seconds", {}).items()}))
-np.save("/root/repo/tmp/atrium_ldr.npy", np.asarray(ldr))
-stamp("mean " + str(float(jnp.mean(ldr))))
+m = jnp.mean(ldr)          # device-side reduce; fetch 1 scalar
+stamp("mean " + str(float(m)))
+np.save("/root/repo/tmp/atrium_ldr_small.npy",
+        np.asarray(ldr[::8, ::8]))
